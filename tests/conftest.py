@@ -1,0 +1,17 @@
+"""Test harness configuration.
+
+Tests run on CPU with 8 virtual XLA devices (the standard way to exercise
+pjit/shard_map collectives without a pod — SURVEY §4) and with x64 enabled
+so device results can be compared tightly against the float64 oracle.
+The benchmark (bench.py) runs outside pytest on the real TPU in float32.
+"""
+import os
+
+os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+flags = os.environ.get('XLA_FLAGS', '')
+if '--xla_force_host_platform_device_count' not in flags:
+    os.environ['XLA_FLAGS'] = (flags + ' --xla_force_host_platform_device_count=8').strip()
+
+import jax  # noqa: E402
+
+jax.config.update('jax_enable_x64', True)
