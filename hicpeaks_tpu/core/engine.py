@@ -1,0 +1,179 @@
+"""Per-chromosome peak-calling engines (device compute + controller glue).
+
+The TPU-side phases (ring scan, expected values, Poisson/lambda-chunk/BH,
+gap filter) produce dense reject masks; the small surviving candidate set
+moves to the controller for the reference's set-logic post-processing
+(background combination, fold gates, cross-parameter merge, greedy
+clustering — callers.py:319-362/579-590)."""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..ops import scan as scan_ops
+from ..ops import score as score_ops
+from ..ops.band import ChromBands
+from . import poolplan
+from .clustering import local_clustering
+from .config import BHFDRConfig, HiccupsConfig
+
+
+def _candidates(raw, num_p, d_lo, d_hi):
+    drow = jnp.arange(num_p)[:, None]
+    return (raw != 0) & (drow >= d_lo) & (drow <= d_hi)
+
+
+def _band_arrays(bands: ChromBands):
+    raw = jnp.asarray(bands.raw)
+    cband = jnp.asarray(bands.cband)
+    IR = jnp.asarray(bands.IR)
+    bias = jnp.asarray(bands.bias)
+    num_p = raw.shape[0]
+    col = jnp.arange(raw.shape[1])[None, :]
+    drow = jnp.arange(num_p)[:, None]
+    eband = jnp.where(col < (bands.L - drow), IR[:, None], 0.0)
+    return raw, cband, eband, IR, bias
+
+
+def _score_one(raw, cband, IR, bias, bSV, bEV, wi, cand, L, sig, gap_drop,
+               chunked: bool):
+    """Poisson scoring of one background; returns host-side kept-pixel
+    arrays (x, y, O, ICE, Fold, p, q) plus the dense EM*ratio product."""
+    E, O, ICE, Fold, scored, prod = score_ops.expected_observed(
+        raw, cband, IR, bias, bSV, bEV, wi, cand, L)
+    if chunked:
+        cid, rv, valid = score_ops.lambda_chunks(E, scored)
+        pval = jnp.where(valid, score_ops.poisson_sf(O, rv), 1.0)
+        qval = score_ops.segmented_bh(pval, cid, valid)
+    else:
+        pval = jnp.where(scored, score_ops.poisson_sf(O, E), 1.0)
+        qval = score_ops.segmented_bh(
+            pval, jnp.ones(E.shape, jnp.int32), scored)
+    reject = scored & (qval <= sig)
+    keep = reject & ~gap_drop
+
+    keep_np = np.asarray(keep)
+    d_idx, x_idx = np.nonzero(keep_np)
+    y_idx = x_idx + d_idx
+    take = lambda a: np.asarray(a)[d_idx, x_idx]
+    return dict(x=x_idx, y=y_idx, O=take(O), ICE=take(ICE), Fold=take(Fold),
+                p=take(pval), q=take(qval), prod=prod)
+
+
+def bhfdr_chrom(bands: ChromBands, cfg: BHFDRConfig):
+    """Donut-only caller (reference callers.py:364-590).  Returns
+    {(x_bp, y_bp): (cen_x_bp, cen_y_bp, radius_bp, O, Fold, p, q)}."""
+    res = bands.res
+    L, num = bands.L, bands.num
+    raw, cband, eband, IR, bias = _band_arrays(bands)
+    num_p = raw.shape[0]
+
+    plan = tuple(poolplan.bhfdr_pool_plan(cfg.pw, cfg.ww, cfg.maxww))
+    cand = _candidates(raw, num_p, cfg.ww, cfg.maxapart // res)
+    total = int(jnp.sum(cand))
+
+    counts = scan_ops.scan_pass_a(raw, cand, plan, (cfg.pw,), 16)
+    decision = poolplan.emulate_freeze_bhfdr(plan, np.asarray(counts), total)
+    allowed = jnp.asarray(decision.allowed)
+    _, _, outs = scan_ops.scan_pass_b(raw, cband, eband, cand, allowed,
+                                      plan, (cfg.pw,), 16)
+    KS, KE, _, _ = outs[cfg.pw]
+
+    gap = score_ops.gap_vector(cband)
+    gap_drop = score_ops.gap_reject(gap, num_p, L, cfg.ww)
+    r = _score_one(raw, cband, IR, bias, KS, KE, cfg.ww, cand, L,
+                   cfg.siglevel, gap_drop, chunked=False)
+
+    Donuts = {(int(x), int(y)): (float(o), float(f), float(p), float(q))
+              for x, y, o, f, p, q in zip(r['x'], r['y'], r['O'], r['Fold'],
+                                          r['p'], r['q'])}
+    pixel_list = local_clustering(Donuts, None, res,
+                                  min_count=cfg.min_marginal_peaks,
+                                  r=2 * res, onlysummit=cfg.only_anchors)
+    pixel_table = {}
+    for pixel, cen, radius in pixel_list:
+        donut = Donuts[pixel]
+        if donut[1] > 2:   # post-clustering fold gate, callers.py:587
+            pixel_table[(pixel[0] * res, pixel[1] * res)] = \
+                (cen[0] * res, cen[1] * res, radius * res) + donut
+    return pixel_table
+
+
+def hiccups_chrom(bands: ChromBands, cfg: HiccupsConfig):
+    """Two-background multi-parameter caller (reference callers.py:44-362).
+    Returns {(x_bp, y_bp): (cen_x, cen_y, radius, O, FoldK, pK, qK,
+    FoldY, pY, qY)} in bp."""
+    res = bands.res
+    L, num = bands.L, bands.num
+    raw, cband, eband, IR, bias = _band_arrays(bands)
+    num_p = raw.shape[0]
+    pw, ww = tuple(cfg.pw), tuple(cfg.ww)
+
+    plan = tuple(poolplan.hiccups_pool_plan(pw, ww, cfg.maxww))
+    p_list = tuple(sorted(set(pw)))
+    cand = _candidates(raw, num_p, min(ww), cfg.maxapart // res)
+    total = int(jnp.sum(cand))
+
+    counts = scan_ops.scan_pass_a(raw, cand, plan, p_list, cfg.min_local_reads)
+    decision = poolplan.emulate_freeze_hiccups(plan, np.asarray(counts),
+                                               total, ww)
+    allowed = jnp.asarray(decision.allowed)
+    _, _, outs = scan_ops.scan_pass_b(raw, cband, eband, cand, allowed,
+                                      plan, p_list, cfg.min_local_reads)
+
+    gap = score_ops.gap_vector(cband)
+    gap_drop = score_ops.gap_reject(gap, num_p, L, min(ww))
+
+    pixel_table = {}
+    for pi, wi in zip(pw, ww):
+        KS, KE, YS, YE = outs[pi]
+        rK = _score_one(raw, cband, IR, bias, KS, KE, wi, cand, L,
+                        cfg.siglevel, gap_drop, chunked=True)
+        rY = _score_one(raw, cband, IR, bias, YS, YE, wi, cand, L,
+                        cfg.siglevel, gap_drop, chunked=True)
+
+        first = rK['O'] if cfg.use_raw else rK['ICE']
+        preDonuts = {(int(x), int(y)): (fi, o, f, p, q)
+                     for x, y, fi, o, f, p, q in zip(
+                         rK['x'], rK['y'], first, rK['O'], rK['Fold'],
+                         rK['p'], rK['q'])}
+        preLL = {(int(x), int(y)): (i, o, f, p, q)
+                 for x, y, i, o, f, p, q in zip(
+                     rY['x'], rY['y'], rY['ICE'], rY['O'], rY['Fold'],
+                     rY['p'], rY['q'])}
+
+        commonPos = set(preDonuts) & set(preLL)
+        postcheck = set(preDonuts) - set(preLL)
+        if postcheck:
+            # cEM here is the Y background's expected matrix (the reference
+            # reuses the loop variable, callers.py:329-331)
+            prodY = np.asarray(rY['prod'])
+            for ci, cj in postcheck:
+                if prodY[cj - ci, ci] == 0:
+                    commonPos.add((ci, cj))
+
+        for key in commonPos:
+            donut = preDonuts[key]
+            ll = preLL.get(key, donut)
+            bpkey = (key[0] * res, key[1] * res)
+            if (donut[2] > cfg.double_fold) and (ll[2] > cfg.double_fold) and \
+                    ((donut[2] > cfg.single_fold) or (ll[2] > cfg.single_fold)):
+                if bpkey not in pixel_table:
+                    pixel_table[bpkey] = bpkey + (0,) + donut + ll[2:]
+                elif (donut[-1] < pixel_table[bpkey][7]) and \
+                        (ll[-1] < pixel_table[bpkey][10]):
+                    pixel_table[bpkey] = bpkey + (0,) + donut + ll[2:]
+
+    Donuts = {(k[0] // res, k[1] // res): pixel_table[k][3:8]
+              for k in pixel_table}
+    LL = {(k[0] // res, k[1] // res): pixel_table[k][8:] for k in pixel_table}
+    peak_list = local_clustering(Donuts, LL, res,
+                                 min_count=cfg.min_marginal_peaks,
+                                 r=2 * res, sumq=cfg.sumq,
+                                 onlysummit=cfg.only_anchors)
+    final_table = {}
+    for pixel, cen, radius in peak_list:
+        key = (pixel[0] * res, pixel[1] * res)
+        final_table[key] = (cen[0] * res, cen[1] * res, radius * res) + \
+            pixel_table[key][4:]
+    return final_table

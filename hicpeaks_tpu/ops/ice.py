@@ -1,0 +1,169 @@
+"""On-device ICE matrix balancing (iterative correction).
+
+TPU-native replacement for the reference's ``balance()`` wrapper around
+``cooler.ice.iterative_correction`` (utilities.py:367-431).  The reference
+balances cis-only (per SURVEY §2.5 the cooler metadata drives
+``cis_only=True``), which in cooler means each chromosome is corrected
+independently; marginal sweeps here are two fused passes over the dense
+band tensor instead of chunked sparse matvecs over a process pool.
+
+Knobs and semantics follow the reference call site: chunk-free, mad_max=5,
+min_nnz=10, min_count=0, ignore_diags=1, tol=1e-5, max_iters=200, with
+``rescale_marginals`` (bias /= sqrt(mean nonzero marginal)) and NaN at
+filtered-out bins.  Convergence is tested on the scale-free variance of the
+nonzero marginals (variance of marginals divided by their mean), which is
+invariant to overall depth.
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _sym_marginal(band, b, L):
+    """Marginal of the bias-scaled symmetric matrix from its upper band:
+    m[x] = sum_j S[x, j] b[x] b[j] / b[x] ... concretely the row+column
+    contributions of every stored pixel (diagonal counted once)."""
+    num_p, Lp = band.shape
+    d = jnp.arange(num_p)[:, None]
+    x = jnp.arange(Lp)[None, :]
+    # value[d, x] scaled by both end biases
+    By = b[jnp.minimum(x + d, Lp - 1)]
+    scaled = band * b[None, :] * By
+    rowpart = jnp.sum(scaled, axis=0)                  # contribution to bin x
+    # contribution to bin y = x + d  (exclude d=0: already in rowpart)
+    src = jnp.where(d > 0, scaled, 0.0)
+    xm = jnp.maximum(x - d, 0)
+    shifted = jnp.take_along_axis(src, xm, axis=1)
+    valid = (x - d) >= 0
+    colpart = jnp.sum(jnp.where(valid, shifted, 0.0), axis=0)
+    return rowpart + colpart
+
+
+@dataclass
+class IceResult:
+    bias: np.ndarray
+    var: float
+    converged: bool
+    n_iters: int
+    scale: float
+
+
+@functools.partial(jax.jit, static_argnames=('L', 'ignore_diags', 'min_nnz',
+                                             'min_count', 'mad_max',
+                                             'max_iters'))
+def _ice_device(band, L, ignore_diags, min_nnz, min_count, mad_max,
+                tol, max_iters):
+    num_p, Lp = band.shape
+    d = jnp.arange(num_p)[:, None]
+    x = jnp.arange(Lp)[None, :]
+    band = jnp.where(d < ignore_diags, 0.0, band)
+    band = jnp.where(x < (L - d), band, 0.0)
+
+    ones = jnp.ones(Lp, band.dtype)
+    col_in = jnp.arange(Lp) < L
+
+    # --- bin filters (cooler's _init/_filters equivalents) ---
+    nz = (band != 0).astype(band.dtype)
+    nnz_row = jnp.sum(nz, axis=0)
+    src = jnp.where(d > 0, nz, 0.0)
+    xm = jnp.maximum(x - d, 0)
+    nnz_col = jnp.sum(jnp.where((x - d) >= 0,
+                                jnp.take_along_axis(src, xm, axis=1), 0.0),
+                      axis=0)
+    nnz = nnz_row + nnz_col
+    marg0 = _sym_marginal(band, ones, L)
+
+    mask = col_in
+    if min_nnz > 0:
+        mask = mask & (nnz >= min_nnz)
+    if min_count > 0:
+        mask = mask & (marg0 >= min_count)
+
+    if mad_max > 0:
+        m = jnp.where(mask, marg0, 0.0)
+        pos = m > 0
+        logm = jnp.where(pos, jnp.log(jnp.where(pos, m, 1.0)), jnp.nan)
+        med = jnp.nanmedian(logm)
+        dev = jnp.nanmedian(jnp.abs(logm - med))
+        cutoff = jnp.exp(med - mad_max * dev)
+        mask = mask & (m >= cutoff)
+
+    b0 = jnp.where(mask, 1.0, 0.0).astype(band.dtype)
+
+    def cond(state):
+        b, var, it = state
+        return (var >= tol) & (it < max_iters)
+
+    def body(state):
+        b, _, it = state
+        m = _sym_marginal(band, b, L)
+        nzm = m > 0
+        cnt = jnp.maximum(jnp.sum(nzm), 1)
+        mean = jnp.sum(jnp.where(nzm, m, 0.0)) / cnt
+        rel = jnp.where(nzm, m / mean, 1.0)
+        b = b / rel
+        var = jnp.sum(jnp.where(nzm, (m / mean - 1.0) ** 2, 0.0)) / cnt
+        return b, var, it + 1
+
+    b, var, it = jax.lax.while_loop(cond, body, (b0, jnp.inf, 0))
+    # rescale so the balanced matrix's nonzero marginals average 1
+    m = _sym_marginal(band, b, L)
+    nzm = m > 0
+    cnt = jnp.maximum(jnp.sum(nzm), 1)
+    scale = jnp.sum(jnp.where(nzm, m, 0.0)) / cnt
+    b = b / jnp.sqrt(jnp.where(scale > 0, scale, 1.0))
+    return b, mask, var, it, scale
+
+
+def ice_balance_chrom(raw_band, L, ignore_diags=1, mad_max=5, min_nnz=10,
+                      min_count=0, tol=1e-5, max_iters=200) -> IceResult:
+    """Balance one chromosome band; returns cooler-convention weights
+    (NaN at filtered bins) of length L."""
+    band = jnp.asarray(raw_band)
+    b, mask, var, it, scale = _ice_device(band, L, ignore_diags, min_nnz,
+                                          min_count, mad_max, tol, max_iters)
+    b = np.asarray(b, np.float64)[:L]
+    mask = np.asarray(mask)[:L]
+    weights = np.where(mask & (b > 0), b, np.nan)
+    n_iters = int(it)
+    varf = float(var)
+    return IceResult(bias=weights, var=varf, converged=varf < tol,
+                     n_iters=n_iters, scale=float(scale))
+
+
+def balance(clr, nproc=1, chunksize=int(1e7), mad_max=5, min_nnz=10,
+            min_count=0, ignore_diags=1, tol=1e-5, max_iters=200,
+            weight_name='weight'):
+    """Balance every chromosome of a cooler group and persist bins/weight,
+    mirroring the reference ``balance()`` entry point (utilities.py:367-431).
+    ``nproc``/``chunksize`` are accepted for CLI compatibility; the device
+    path needs neither."""
+    from ..ops.band import build_bands
+
+    res = clr.binsize
+    weights = []
+    stats = {'tol': tol, 'min_nnz': min_nnz, 'min_count': min_count,
+             'mad_max': mad_max, 'cis_only': True, 'ignore_diags': ignore_diags,
+             'converged': True}
+    for chrom in clr.chromnames:
+        lo, hi = clr.bin_range(chrom)
+        L = hi - lo
+        b1, b2, ct = clr.pixels_for_chrom(chrom)
+        num = L  # full triangle: balancing uses every diagonal
+        raw = np.zeros((max(1, (num + 7) // 8 * 8),
+                        max(1, (L + 127) // 128 * 128)), np.float64)
+        dd = (b2 - b1)
+        raw[dd, b1] = ct
+        result = ice_balance_chrom(raw, L, ignore_diags=ignore_diags,
+                                   mad_max=mad_max, min_nnz=min_nnz,
+                                   min_count=min_count, tol=tol,
+                                   max_iters=max_iters)
+        stats['converged'] = bool(stats['converged'] and result.converged)
+        weights.append(result.bias)
+    clr.write_weights(np.concatenate(weights), stats, name=weight_name)
+    return stats

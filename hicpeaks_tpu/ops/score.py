@@ -1,0 +1,144 @@
+"""On-device statistical scoring.
+
+Implements, over dense band tensors, the reference's per-(p,w) scoring
+stage (callers.py:239-317 for hiccups, callers.py:517-577 for bhfdr):
+
+* corrected expected values  E = IR[d] * (bS/bE) * B1[x] * B2[y]
+  (invariant 3 of SURVEY §2)
+* lambda chunking at 2^(1/3) multiplicative steps with p-values against
+  the chunk's right edge (callers.py:25-41, 268-270)
+* Poisson survival via the regularized lower incomplete gamma:
+  1 - PoissonCDF(k; lam) = P(k+1, lam)
+* segmented (per-chunk) Benjamini-Hochberg computed with two stable sorts
+  and a segmented reverse running-min — statsmodels' fdr_bh semantics, on
+  device (replacing the statsmodels dependency, callers.py:11,273-275)
+* gap filtering with the reference's exact (exclusive-upper) window ranges
+  (callers.py:291-312)
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import gammainc
+
+
+def shear_gather(vec, num, L):
+    """out[d, x] = vec[x + d] (clamped gather; callers mask invalid pixels)."""
+    idx = (jnp.arange(num)[:, None] + jnp.arange(vec.shape[0])[None, :])
+    idx = jnp.minimum(idx, vec.shape[0] - 1)
+    return vec[idx]
+
+
+def expected_observed(raw, cband, IR, bias, bSV, bEV, wi, cand_mask, L):
+    """E, O, ICE, Fold, scored mask, and the raw EM*ratio product (needed by
+    the hiccups Y-background postcheck, callers.py:329-331)."""
+    num_p = raw.shape[0]
+    drow = jnp.arange(num_p)[:, None]
+    col = jnp.arange(raw.shape[1])[None, :]
+    colvalid = col < (L - drow)
+    EM = jnp.where(colvalid, IR[:, None], 0.0)
+
+    mask = (bEV != 0) & (drow >= wi) & cand_mask
+    ratio = jnp.where(mask, bSV / jnp.where(bEV != 0, bEV, 1.0), 0.0)
+    prod = EM * ratio
+
+    By = shear_gather(bias, num_p, raw.shape[1])
+    E = prod * bias[None, :] * By
+    scored = (prod != 0) & (E > 0)
+    O = raw
+    ICE = cband
+    Fold = jnp.where(scored, O / jnp.where(scored, E, 1.0), 0.0)
+    return E, O, ICE, Fold, scored, prod
+
+
+def poisson_sf(O, lam):
+    """P(X > O) for X ~ Poisson(lam), X's CDF evaluated at floor(O)."""
+    return gammainc(jnp.floor(O) + 1.0, lam)
+
+
+def lambda_chunks(E, scored):
+    """Chunk id per pixel: chunk i covers the OPEN interval
+    (2^((i-2)/3), 2^((i-1)/3)), chunk 1 is (0, 1).  Pixels exactly on a
+    boundary belong to no chunk (callers.py:38 uses strict inequalities) and
+    keep p = q = 1.  Returns (cid, right_edge, valid)."""
+    safeE = jnp.where(scored & (E > 0), E, 1.0)
+    t = 3.0 * (jnp.log(safeE) / jnp.log(2.0))
+    cid = jnp.floor(t).astype(jnp.int32) + 2
+    cid = jnp.maximum(cid, 1)
+    # float-rounding guard: nudge into the neighbouring chunk when the
+    # computed id misses the strict-open membership test
+    lv = jnp.where(cid == 1, 0.0, jnp.power(2.0, (cid - 2) / 3.0))
+    rv = jnp.power(2.0, (cid - 1) / 3.0)
+    cid = jnp.where((safeE <= lv) & (cid > 1), cid - 1,
+                    jnp.where(safeE >= rv, cid + 1, cid))
+    lv = jnp.where(cid == 1, 0.0, jnp.power(2.0, (cid - 2) / 3.0))
+    rv = jnp.power(2.0, (cid - 1) / 3.0)
+    valid = scored & (safeE > lv) & (safeE < rv)
+    return cid, rv, valid
+
+
+def segmented_bh(pvals, seg, valid):
+    """Benjamini-Hochberg q-values within each segment of ``seg`` (int ids),
+    restricted to ``valid``; invalid entries get q = 1.
+
+    Matches statsmodels multipletests(method='fdr_bh'): within a segment of
+    size m, q = cummin-from-largest(p_sorted * m / rank), clipped to 1.
+    """
+    shape = pvals.shape
+    p = pvals.ravel()
+    n = p.size
+    BIG = jnp.int32(2 ** 30)
+    s = jnp.where(valid.ravel(), seg.ravel().astype(jnp.int32), BIG)
+
+    perm1 = jnp.argsort(p, stable=True)
+    perm = perm1[jnp.argsort(s[perm1], stable=True)]
+    ps = p[perm]
+    ss = s[perm]
+    idx = jnp.arange(n)
+
+    first = jnp.concatenate([jnp.ones(1, bool), ss[1:] != ss[:-1]])
+    last = jnp.concatenate([first[1:], jnp.ones(1, bool)])
+    seg_start = jax.lax.cummax(jnp.where(first, idx, 0))
+    seg_end = jax.lax.cummin(jnp.where(last, idx, n)[::-1])[::-1]
+    m = (seg_end - seg_start + 1).astype(ps.dtype)
+    rank = (idx - seg_start + 1).astype(ps.dtype)
+    qraw = ps * m / rank
+
+    def op(a, b):
+        va, fa = a
+        vb, fb = b
+        return jnp.where(fb, vb, jnp.minimum(va, vb)), fa | fb
+
+    scanned, _ = jax.lax.associative_scan(op, (qraw[::-1], last[::-1]))
+    q = jnp.minimum(scanned[::-1], 1.0)
+
+    out = jnp.zeros(n, ps.dtype).at[perm].set(q)
+    out = jnp.where(valid.ravel(), out, 1.0)
+    return out.reshape(shape)
+
+
+def gap_vector(cband):
+    """Gap bins: zero row-sum of the upper-band balanced matrix
+    (callers.py:238/557 uses cM.sum(axis=1) of the diagonal-band matrix)."""
+    return jnp.sum(cband, axis=0) == 0
+
+
+def gap_reject(gap, num_p, L, s):
+    """drop[d, x]: any gap bin inside the reference's (exclusive-upper)
+    windows around x or y = x+d (callers.py:291-312)."""
+    g = gap[:L].astype(jnp.int32)
+    G = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(g)])
+
+    def window_count(pos):
+        lower = jnp.where(pos > s, pos - s, 0)
+        upper = jnp.where(pos + s < L, pos + s, L - 1)
+        upper = jnp.maximum(upper, lower)
+        return G[upper] - G[lower]
+
+    x = jnp.arange(gap.shape[0])[None, :]
+    d = jnp.arange(num_p)[:, None]
+    y = jnp.minimum(x + d, L - 1)
+    xs = jnp.clip(x, 0, L - 1)
+    cnt = window_count(jnp.broadcast_to(xs, (num_p, gap.shape[0]))) + \
+        window_count(jnp.broadcast_to(y, (num_p, gap.shape[0])))
+    return cnt > 0

@@ -14,4 +14,10 @@ if '--xla_force_host_platform_device_count' not in flags:
 
 import jax  # noqa: E402
 
+# The environment's sitecustomize registers the remote-TPU ("axon") PJRT
+# plugin and calls jax.config.update("jax_platforms", "axon,cpu") at
+# interpreter start, which overrides JAX_PLATFORMS.  Re-override here so
+# the test suite really runs on the 8 virtual CPU devices.
+jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_enable_x64', True)
+assert jax.default_backend() == 'cpu', jax.devices()
