@@ -23,7 +23,7 @@ def _candidates(raw, num_p, d_lo, d_hi):
     return (raw != 0) & (drow >= d_lo) & (drow <= d_hi)
 
 
-def _band_arrays(bands: ChromBands):
+def _band_arrays(bands: ChromBands, mesh=None):
     raw = jnp.asarray(bands.raw)
     cband = jnp.asarray(bands.cband)
     IR = jnp.asarray(bands.IR)
@@ -32,6 +32,9 @@ def _band_arrays(bands: ChromBands):
     col = jnp.arange(raw.shape[1])[None, :]
     drow = jnp.arange(num_p)[:, None]
     eband = jnp.where(col < (bands.L - drow), IR[:, None], 0.0)
+    if mesh is not None:
+        from ..parallel.tiles import shard_band
+        raw, cband, eband = (shard_band(a, mesh) for a in (raw, cband, eband))
     return raw, cband, eband, IR, bias
 
 
@@ -60,23 +63,35 @@ def _score_one(raw, cband, IR, bias, bSV, bEV, wi, cand, L, sig, gap_drop,
                 p=take(pval), q=take(qval), prod=prod)
 
 
-def bhfdr_chrom(bands: ChromBands, cfg: BHFDRConfig):
+def bhfdr_chrom(bands: ChromBands, cfg: BHFDRConfig, mesh=None):
     """Donut-only caller (reference callers.py:364-590).  Returns
-    {(x_bp, y_bp): (cen_x_bp, cen_y_bp, radius_bp, O, Fold, p, q)}."""
+    {(x_bp, y_bp): (cen_x_bp, cen_y_bp, radius_bp, O, Fold, p, q)}.
+    With ``mesh`` the scan shards band tiles across devices with halo
+    exchange and psum-reduced freeze counts."""
     res = bands.res
     L, num = bands.L, bands.num
-    raw, cband, eband, IR, bias = _band_arrays(bands)
+    raw, cband, eband, IR, bias = _band_arrays(bands, mesh)
     num_p = raw.shape[0]
 
     plan = tuple(poolplan.bhfdr_pool_plan(cfg.pw, cfg.ww, cfg.maxww))
     cand = _candidates(raw, num_p, cfg.ww, cfg.maxapart // res)
     total = int(jnp.sum(cand))
 
-    counts = scan_ops.scan_pass_a(raw, cand, plan, (cfg.pw,), 16)
+    if mesh is None:
+        counts = scan_ops.scan_pass_a(raw, cand, plan, (cfg.pw,), 16)
+    else:
+        from ..parallel import tiles
+        counts = tiles.scan_pass_a_sharded(raw, cand, plan, (cfg.pw,), 16, mesh)
     decision = poolplan.emulate_freeze_bhfdr(plan, np.asarray(counts), total)
     allowed = jnp.asarray(decision.allowed)
-    _, _, outs = scan_ops.scan_pass_b(raw, cband, eband, cand, allowed,
-                                      plan, (cfg.pw,), 16)
+    if mesh is None:
+        _, _, outs = scan_ops.scan_pass_b(raw, cband, eband, cand, allowed,
+                                          plan, (cfg.pw,), 16)
+    else:
+        from ..parallel import tiles
+        _, _, outs = tiles.scan_pass_b_sharded(raw, cband, eband, cand,
+                                               allowed, plan, (cfg.pw,), 16,
+                                               mesh)
     KS, KE, _, _ = outs[cfg.pw]
 
     gap = score_ops.gap_vector(cband)
@@ -99,13 +114,14 @@ def bhfdr_chrom(bands: ChromBands, cfg: BHFDRConfig):
     return pixel_table
 
 
-def hiccups_chrom(bands: ChromBands, cfg: HiccupsConfig):
+def hiccups_chrom(bands: ChromBands, cfg: HiccupsConfig, mesh=None):
     """Two-background multi-parameter caller (reference callers.py:44-362).
     Returns {(x_bp, y_bp): (cen_x, cen_y, radius, O, FoldK, pK, qK,
-    FoldY, pY, qY)} in bp."""
+    FoldY, pY, qY)} in bp.  With ``mesh`` the scan shards band tiles
+    across devices (halo exchange + psum'd freeze counts)."""
     res = bands.res
     L, num = bands.L, bands.num
-    raw, cband, eband, IR, bias = _band_arrays(bands)
+    raw, cband, eband, IR, bias = _band_arrays(bands, mesh)
     num_p = raw.shape[0]
     pw, ww = tuple(cfg.pw), tuple(cfg.ww)
 
@@ -114,12 +130,24 @@ def hiccups_chrom(bands: ChromBands, cfg: HiccupsConfig):
     cand = _candidates(raw, num_p, min(ww), cfg.maxapart // res)
     total = int(jnp.sum(cand))
 
-    counts = scan_ops.scan_pass_a(raw, cand, plan, p_list, cfg.min_local_reads)
+    if mesh is None:
+        counts = scan_ops.scan_pass_a(raw, cand, plan, p_list,
+                                      cfg.min_local_reads)
+    else:
+        from ..parallel import tiles
+        counts = tiles.scan_pass_a_sharded(raw, cand, plan, p_list,
+                                           cfg.min_local_reads, mesh)
     decision = poolplan.emulate_freeze_hiccups(plan, np.asarray(counts),
                                                total, ww)
     allowed = jnp.asarray(decision.allowed)
-    _, _, outs = scan_ops.scan_pass_b(raw, cband, eband, cand, allowed,
-                                      plan, p_list, cfg.min_local_reads)
+    if mesh is None:
+        _, _, outs = scan_ops.scan_pass_b(raw, cband, eband, cand, allowed,
+                                          plan, p_list, cfg.min_local_reads)
+    else:
+        from ..parallel import tiles
+        _, _, outs = tiles.scan_pass_b_sharded(raw, cband, eband, cand,
+                                               allowed, plan, p_list,
+                                               cfg.min_local_reads, mesh)
 
     gap = score_ops.gap_vector(cband)
     gap_drop = score_ops.gap_reject(gap, num_p, L, min(ww))

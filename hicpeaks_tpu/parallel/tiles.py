@@ -1,0 +1,111 @@
+"""Band-tile sharding with halo exchange (the stencil analogue of
+sequence/context parallelism — SURVEY §5 'Long-context' row).
+
+The genome axis of each band tensor is sharded into column tiles across a
+1-D device mesh.  The widening ring scan is a +-maxww stencil whose line
+accumulators reach a further +-maxww, so each tile needs a ``2*maxww``
+halo from each neighbour.  The halo moves once per pass via
+``jax.lax.ppermute`` (riding ICI on real hardware, non-periodic: edge
+tiles receive ppermute's zero fill, which is exactly the reference's
+zero padding at chromosome ends, callers.py:53-54).  Freeze counts are
+``psum``-reduced so the controller's early-stop emulation sees global
+numbers; everything downstream (scoring, BH sort) runs under jit on the
+sharded arrays with XLA inserting the collectives.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+try:
+    from jax import shard_map as _jax_shard_map
+
+    def shard_map(f, *, mesh, in_specs, out_specs, check_rep=False):
+        return _jax_shard_map(f, mesh=mesh, in_specs=in_specs,
+                              out_specs=out_specs, check_vma=check_rep)
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map  # type: ignore
+
+from ..ops import scan as scan_ops
+
+HALO_AXIS = 'tiles'
+
+
+def shard_band(arr, mesh):
+    """Place a [num, L] band on the mesh, sharded along columns (pads the
+    column count to a multiple of the mesh size)."""
+    n = mesh.devices.size
+    Lp = arr.shape[1]
+    rem = (-Lp) % n
+    if rem:
+        arr = jnp.pad(jnp.asarray(arr), ((0, 0), (0, rem)))
+    return jax.device_put(jnp.asarray(arr), NamedSharding(mesh, P(None, HALO_AXIS)))
+
+
+def _with_halo(x, H, n):
+    """Attach H columns of left/right-neighbour data (zeros at the ends)."""
+    if n == 1:
+        pad = jnp.zeros((x.shape[0], H), x.dtype)
+        return jnp.concatenate([pad, x, pad], axis=1)
+    left = jax.lax.ppermute(x[:, -H:], HALO_AXIS,
+                            [(i, i + 1) for i in range(n - 1)])
+    right = jax.lax.ppermute(x[:, :H], HALO_AXIS,
+                             [(i, i - 1) for i in range(1, n)])
+    return jnp.concatenate([left, x, right], axis=1)
+
+
+def _zero_halo(x, H):
+    pad = jnp.zeros((x.shape[0], H), x.dtype)
+    return jnp.concatenate([pad, x, pad], axis=1)
+
+
+def scan_pass_a_sharded(raw, cand_mask, plan, p_list, thr, mesh):
+    """Sharded freeze-count pass; returns globally psum-reduced counts."""
+    n = mesh.devices.size
+    H = 2 * max(e.w for e in plan)
+
+    @functools.partial(shard_map, mesh=mesh,
+                       in_specs=(P(None, HALO_AXIS), P(None, HALO_AXIS)),
+                       out_specs=P(),
+                       check_rep=False)
+    def run(raw_l, cand_l):
+        raw_e = _with_halo(raw_l, H, n)
+        cand_e = _zero_halo(cand_l, H)   # halo pixels belong to neighbours
+        allowed = jnp.ones(len(plan), bool)
+        counts = scan_ops._scan(raw_e, None, None, cand_e, plan, p_list, thr,
+                                allowed, False)
+        return jax.lax.psum(counts, HALO_AXIS)
+
+    return jax.jit(run)(raw, cand_mask)
+
+
+def scan_pass_b_sharded(raw, cband, eband, cand_mask, allowed, plan, p_list,
+                        thr, mesh):
+    """Sharded capture pass; capture tensors come back sharded along tiles."""
+    n = mesh.devices.size
+    H = 2 * max(e.w for e in plan)
+    band_spec = P(None, HALO_AXIS)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(band_spec, band_spec, band_spec, band_spec, P()),
+        out_specs=(P(), {p: band_spec for p in p_list},
+                   {p: [band_spec] * 4 for p in p_list}),
+        check_rep=False)
+    def run(raw_l, cband_l, eband_l, cand_l, allowed_l):
+        raw_e = _with_halo(raw_l, H, n)
+        cband_e = _with_halo(cband_l, H, n)
+        eband_e = _with_halo(eband_l, H, n)
+        cand_e = _zero_halo(cand_l, H)
+        counts, captured, outs = scan_ops._scan(
+            raw_e, cband_e, eband_e, cand_e, plan, p_list, thr, allowed_l,
+            True)
+        crop = lambda a: a[:, H:-H]
+        captured = {p: crop(v) for p, v in captured.items()}
+        outs = {p: [crop(v) for v in o] for p, o in outs.items()}
+        return jax.lax.psum(counts, HALO_AXIS), captured, outs
+
+    return jax.jit(run)(raw, cband, eband, cand_mask, allowed)
