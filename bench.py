@@ -60,11 +60,16 @@ def main():
     p_list = tuple(sorted(set(pw)))
     pairs = tuple(zip(pw, ww))
 
+    from hicpeaks_tpu.ops import score as score_ops
+
     raw = jnp.asarray(bands.raw)
     cband = jnp.asarray(bands.cband)
     IR = jnp.asarray(bands.IR)
-    bias = jnp.asarray(bands.bias)
     num_p = raw.shape[0]
+    Bprod = jnp.asarray(score_ops.bias_product_host(bands.bias, num_p))
+    gap = bands.cband.sum(axis=0) == 0
+    gap_drop = jnp.asarray(score_ops.gap_reject_host(gap, num_p, bands.L,
+                                                     min(ww)))
     col = jnp.arange(raw.shape[1])[None, :]
     drow = jnp.arange(num_p)[:, None]
     eband = jnp.where(col < (bands.L - drow), IR[:, None], 0.0)
@@ -74,7 +79,7 @@ def main():
 
     def step():
         return flagship.hiccups_device_step(
-            raw, cband, eband, IR, bias, cand, allowed,
+            raw, cband, eband, IR, Bprod, cand, allowed, gap_drop,
             plan=plan, p_list=p_list, thr=16, pairs=pairs, L=bands.L)
 
     out = step()

@@ -38,12 +38,12 @@ def _band_arrays(bands: ChromBands, mesh=None):
     return raw, cband, eband, IR, bias
 
 
-def _score_one(raw, cband, IR, bias, bSV, bEV, wi, cand, L, sig, gap_drop,
+def _score_one(raw, cband, IR, Bprod, bSV, bEV, wi, cand, L, sig, gap_drop,
                chunked: bool):
     """Poisson scoring of one background; returns host-side kept-pixel
     arrays (x, y, O, ICE, Fold, p, q) plus the dense EM*ratio product."""
     E, O, ICE, Fold, scored, prod = score_ops.expected_observed(
-        raw, cband, IR, bias, bSV, bEV, wi, cand, L)
+        raw, cband, IR, Bprod, bSV, bEV, wi, cand, L)
     if chunked:
         cid, rv, valid = score_ops.lambda_chunks(E, scored)
         pval = jnp.where(valid, score_ops.poisson_sf(O, rv), 1.0)
@@ -94,9 +94,10 @@ def bhfdr_chrom(bands: ChromBands, cfg: BHFDRConfig, mesh=None):
                                                mesh)
     KS, KE, _, _ = outs[cfg.pw]
 
-    gap = score_ops.gap_vector(cband)
-    gap_drop = score_ops.gap_reject(gap, num_p, L, cfg.ww)
-    r = _score_one(raw, cband, IR, bias, KS, KE, cfg.ww, cand, L,
+    gap = bands.cband.sum(axis=0) == 0
+    gap_drop = jnp.asarray(score_ops.gap_reject_host(gap, num_p, L, cfg.ww))
+    Bprod = jnp.asarray(score_ops.bias_product_host(bands.bias, num_p))
+    r = _score_one(raw, cband, IR, Bprod, KS, KE, cfg.ww, cand, L,
                    cfg.siglevel, gap_drop, chunked=False)
 
     Donuts = {(int(x), int(y)): (float(o), float(f), float(p), float(q))
@@ -149,15 +150,16 @@ def hiccups_chrom(bands: ChromBands, cfg: HiccupsConfig, mesh=None):
                                                allowed, plan, p_list,
                                                cfg.min_local_reads, mesh)
 
-    gap = score_ops.gap_vector(cband)
-    gap_drop = score_ops.gap_reject(gap, num_p, L, min(ww))
+    gap = bands.cband.sum(axis=0) == 0
+    gap_drop = jnp.asarray(score_ops.gap_reject_host(gap, num_p, L, min(ww)))
+    Bprod = jnp.asarray(score_ops.bias_product_host(bands.bias, num_p))
 
     pixel_table = {}
     for pi, wi in zip(pw, ww):
         KS, KE, YS, YE = outs[pi]
-        rK = _score_one(raw, cband, IR, bias, KS, KE, wi, cand, L,
+        rK = _score_one(raw, cband, IR, Bprod, KS, KE, wi, cand, L,
                         cfg.siglevel, gap_drop, chunked=True)
-        rY = _score_one(raw, cband, IR, bias, YS, YE, wi, cand, L,
+        rY = _score_one(raw, cband, IR, Bprod, YS, YE, wi, cand, L,
                         cfg.siglevel, gap_drop, chunked=True)
 
         first = rK['O'] if cfg.use_raw else rK['ICE']

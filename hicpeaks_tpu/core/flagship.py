@@ -18,17 +18,14 @@ from . import poolplan
 
 @functools.partial(jax.jit,
                    static_argnames=('plan', 'p_list', 'thr', 'pairs', 'L'))
-def hiccups_device_step(raw, cband, eband, IR, bias, cand, allowed,
+def hiccups_device_step(raw, cband, eband, IR, Bprod, cand, allowed, gap_drop,
                         plan, p_list, thr, pairs, L, sig=0.05):
     """One full device pass over a chromosome band.  Returns per-(p,w) pair
     dicts of dense q-values and keep-masks for both backgrounds, plus the
-    freeze counts for the controller."""
+    freeze counts for the controller.  ``Bprod``/``gap_drop`` are
+    host-precomputed sheets (ops/score.py) so the graph stays gather-free."""
     counts, captured, outs = scan_ops._scan(
         raw, cband, eband, cand, plan, p_list, thr, allowed, True)
-    num_p = raw.shape[0]
-    gap = score_ops.gap_vector(cband)
-    wmin = min(w for _, w in pairs)
-    gap_drop = score_ops.gap_reject(gap, num_p, L, wmin)
 
     results = {}
     for (p, w) in pairs:
@@ -36,7 +33,7 @@ def hiccups_device_step(raw, cband, eband, IR, bias, cand, allowed,
         pair_out = {}
         for fl, (bSV, bEV) in (('K', (KS, KE)), ('Y', (YS, YE))):
             E, O, ICE, Fold, scored, prod = score_ops.expected_observed(
-                raw, cband, IR, bias, bSV, bEV, w, cand, L)
+                raw, cband, IR, Bprod, bSV, bEV, w, cand, L)
             cid, rv, valid = score_ops.lambda_chunks(E, scored)
             pval = jnp.where(valid, score_ops.poisson_sf(O, rv), 1.0)
             qval = score_ops.segmented_bh(pval, cid, valid)

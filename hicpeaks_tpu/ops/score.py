@@ -29,9 +29,22 @@ def shear_gather(vec, num, L):
     return vec[idx]
 
 
-def expected_observed(raw, cband, IR, bias, bSV, bEV, wi, cand_mask, L):
+def bias_product_host(bias, num_p):
+    """Host-side precompute of Bprod[d, x] = B1[x] * B2[x+d] (the two
+    inverse-ICE factors of invariant 3).  Built with numpy stride tricks so
+    the device graph carries no 2-D gather."""
+    import numpy as np
+    b = np.asarray(bias)
+    Lp = b.shape[0]
+    padded = np.concatenate([b, np.zeros(num_p, b.dtype)])
+    By = np.lib.stride_tricks.sliding_window_view(padded, Lp)[:num_p]
+    return np.ascontiguousarray(By * b[None, :])
+
+
+def expected_observed(raw, cband, IR, Bprod, bSV, bEV, wi, cand_mask, L):
     """E, O, ICE, Fold, scored mask, and the raw EM*ratio product (needed by
-    the hiccups Y-background postcheck, callers.py:329-331)."""
+    the hiccups Y-background postcheck, callers.py:329-331).
+    ``Bprod`` is the host-precomputed B1[x]*B2[y] sheet."""
     num_p = raw.shape[0]
     drow = jnp.arange(num_p)[:, None]
     col = jnp.arange(raw.shape[1])[None, :]
@@ -42,8 +55,7 @@ def expected_observed(raw, cband, IR, bias, bSV, bEV, wi, cand_mask, L):
     ratio = jnp.where(mask, bSV / jnp.where(bEV != 0, bEV, 1.0), 0.0)
     prod = EM * ratio
 
-    By = shear_gather(bias, num_p, raw.shape[1])
-    E = prod * bias[None, :] * By
+    E = prod * Bprod
     scored = (prod != 0) & (E > 0)
     O = raw
     ICE = cband
@@ -123,22 +135,22 @@ def gap_vector(cband):
     return jnp.sum(cband, axis=0) == 0
 
 
-def gap_reject(gap, num_p, L, s):
+def gap_reject_host(gap, num_p, L, s):
     """drop[d, x]: any gap bin inside the reference's (exclusive-upper)
-    windows around x or y = x+d (callers.py:291-312)."""
-    g = gap[:L].astype(jnp.int32)
-    G = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(g)])
-
-    def window_count(pos):
-        lower = jnp.where(pos > s, pos - s, 0)
-        upper = jnp.where(pos + s < L, pos + s, L - 1)
-        upper = jnp.maximum(upper, lower)
-        return G[upper] - G[lower]
-
-    x = jnp.arange(gap.shape[0])[None, :]
-    d = jnp.arange(num_p)[:, None]
-    y = jnp.minimum(x + d, L - 1)
-    xs = jnp.clip(x, 0, L - 1)
-    cnt = window_count(jnp.broadcast_to(xs, (num_p, gap.shape[0]))) + \
-        window_count(jnp.broadcast_to(y, (num_p, gap.shape[0])))
-    return cnt > 0
+    windows around x or y = x+d (callers.py:291-312).  Computed host-side
+    with numpy (one windowed count per bin + a sheared view) and fed to the
+    device as a mask input."""
+    import numpy as np
+    g = np.asarray(gap)[:L].astype(np.int64)
+    G = np.concatenate([[0], np.cumsum(g)])
+    pos = np.arange(L)
+    lower = np.where(pos > s, pos - s, 0)
+    upper = np.where(pos + s < L, pos + s, L - 1)
+    upper = np.maximum(upper, lower)
+    cnt = G[upper] - G[lower]                       # per-bin window count
+    Lp = np.asarray(gap).shape[0]
+    cnt_full = np.zeros(Lp, np.int64)
+    cnt_full[:L] = cnt
+    padded = np.concatenate([cnt_full, np.zeros(num_p, np.int64)])
+    cnt_y = np.lib.stride_tricks.sliding_window_view(padded, Lp)[:num_p]
+    return (cnt_full[None, :] + cnt_y) > 0
