@@ -1,0 +1,141 @@
+"""Fused Pallas capture-pass kernel (the north-star hot loop).
+
+The jnp ring scan streams ~O(plan * rings) full-array passes through HBM.
+This kernel tiles the band into [ROW_TILE, COL_TILE] blocks with
+2*maxww halos, DMAs each slab (raw, balanced, expected, candidate mask)
+into VMEM once, runs the *same* scan math (ops/scan._scan_core) entirely
+on-chip, and writes only the captured background sums back — one HBM read
++ one write instead of hundreds of passes.
+
+Grid: (row_tiles, col_tiles).  Inputs stay in HBM/ANY and are sliced with
+dynamic DMA (halos overlap, which BlockSpec-blocked pipelines cannot
+express).  The `allowed` vector rides in SMEM.  Tile sizes are chosen so
+the ~(4 slabs + 10 ring states + 5 accumulators + 4*n_p captures) live
+set fits VMEM.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import scan as scan_ops
+
+
+def _choose_tiles(num_p, Lp, M, n_p, vmem_budget=12 * 2 ** 20):
+    """Pick (ROW_TILE, COL_TILE) so the live set fits in VMEM."""
+    live_arrays = 4 + 10 + 5 + 4 * n_p + 2
+    for col in (512, 384, 256, 128):
+        for row in (256, 128, 64, 32):
+            if row > num_p or col > Lp:
+                continue
+            slab = (row + 2 * M) * (col + 2 * M) * 4
+            if live_arrays * slab <= vmem_budget:
+                return row, col
+    return 32, 128
+
+
+def _pad_to(x, mult):
+    return (x + mult - 1) // mult * mult
+
+
+@functools.partial(jax.jit, static_argnames=('plan', 'p_list', 'thr',
+                                             'interpret'))
+def scan_pass_b_pallas(raw, cband, eband, cand_mask, allowed, plan, p_list,
+                       thr, interpret=False):
+    """Drop-in replacement for scan_ops.scan_pass_b's capture outputs
+    (freeze counts come from pass A, so they are not re-emitted here).
+    Returns {p: [KS, KE, YS, YE]} dense [num_p, Lp] arrays."""
+    num_p, Lp = raw.shape
+    M = scan_ops._row_margin(plan)
+    n_p = len(p_list)
+    R, T = _choose_tiles(num_p, Lp, M, n_p)
+
+    num_pad = _pad_to(num_p, R)
+    col_pad = _pad_to(Lp, T)
+    grid = (num_pad // R, col_pad // T)
+
+    def prep(a, fill=0):
+        a = jnp.pad(a, ((M, M + num_pad - num_p), (M, M + col_pad - Lp)),
+                    constant_values=fill)
+        return a
+
+    raw_p = prep(raw)
+    cband_p = prep(cband)
+    eband_p = prep(eband)
+    cand_p = prep(cand_mask.astype(raw.dtype))
+    allowed_i = allowed.astype(jnp.int32)
+
+    slab_shape = (R + 2 * M, T + 2 * M)
+    dtype = raw.dtype
+
+    def kernel(allowed_ref, raw_ref, cband_ref, eband_ref, cand_ref,
+               *out_refs):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+
+        def body(s_raw, s_c, s_e, s_cand, sems):
+            copies = []
+            for k, (src, dst) in enumerate(((raw_ref, s_raw),
+                                            (cband_ref, s_c),
+                                            (eband_ref, s_e),
+                                            (cand_ref, s_cand))):
+                dma = pltpu.make_async_copy(
+                    src.at[pl.ds(i * R, R + 2 * M), pl.ds(j * T, T + 2 * M)],
+                    dst, sems.at[k])
+                dma.start()
+                copies.append(dma)
+            for dma in copies:
+                dma.wait()
+
+            rows = jax.lax.broadcasted_iota(jnp.int32, slab_shape, 0)
+            cols = jax.lax.broadcasted_iota(jnp.int32, slab_shape, 1)
+            interior = ((rows >= M) & (rows < M + R) &
+                        (cols >= M) & (cols < M + T))
+            cand = (s_cand[:] != 0) & interior
+            allowed_vec = allowed_ref[:] != 0
+
+            _, _, outs = scan_ops._scan_core(
+                s_raw[:], s_c[:], s_e[:], cand, plan, p_list, thr,
+                allowed_vec, True)
+            for pi, p in enumerate(p_list):
+                for t in range(4):
+                    out_refs[pi * 4 + t][:, :] = \
+                        outs[p][t][M:M + R, M:M + T]
+
+        pl.run_scoped(
+            body,
+            s_raw=pltpu.VMEM(slab_shape, dtype),
+            s_c=pltpu.VMEM(slab_shape, dtype),
+            s_e=pltpu.VMEM(slab_shape, dtype),
+            s_cand=pltpu.VMEM(slab_shape, dtype),
+            sems=pltpu.SemaphoreType.DMA((4,)),
+        )
+
+    out_shapes = [jax.ShapeDtypeStruct((num_pad, col_pad), dtype)
+                  for _ in range(4 * n_p)]
+    out_specs = [pl.BlockSpec((R, T), lambda i, j, *_: (i, j),
+                              memory_space=pltpu.VMEM)
+                 for _ in range(4 * n_p)]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
+        out_specs=out_specs,
+    )
+
+    outs_flat = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(allowed_i, raw_p, cband_p, eband_p, cand_p)
+
+    result = {}
+    for pi, p in enumerate(p_list):
+        result[p] = [o[:num_p, :Lp] for o in outs_flat[pi * 4:pi * 4 + 4]]
+    return result

@@ -139,17 +139,15 @@ def _row_margin(plan):
     return 2 * max(e.w for e in plan)
 
 
-def _scan(raw, cband, eband, cand_mask, plan, p_list, thr, allowed,
-          with_captures: bool):
-    """Shared implementation of passes A and B (traced under jit)."""
-    M = _row_margin(plan)
-    pad = lambda a: jnp.pad(a, ((M, M), (0, 0)))
-    raw = pad(raw)
-    cand_mask = pad(cand_mask)
+def _scan_core(raw, cband, eband, cand_mask, plan, p_list, thr, allowed,
+               with_captures: bool):
+    """Ring-scan math on row-pre-padded arrays (margin handling belongs to
+    the caller).  Shared between the jnp path (full band, jnp.pad) and the
+    Pallas kernel (VMEM slabs).  Outputs are uncropped."""
     bands = {'m': raw}
     if with_captures:
-        bands['c'] = pad(cband)
-        bands['e'] = pad(eband)
+        bands['c'] = cband
+        bands['e'] = eband
     provider = _RingProvider(bands, _ring_mentions(plan, with_captures))
 
     zero = jnp.zeros_like(raw)
@@ -182,12 +180,28 @@ def _scan(raw, cband, eband, cand_mask, plan, p_list, thr, allowed,
             outs[p] = [jnp.where(do_cap, v, old) for v, old in zip(vals, o)]
 
     counts = jnp.stack(counts)
+    if with_captures:
+        return counts, captured, outs
+    return counts
+
+
+def _scan(raw, cband, eband, cand_mask, plan, p_list, thr, allowed,
+          with_captures: bool):
+    """Shared implementation of passes A and B (traced under jit)."""
+    M = _row_margin(plan)
+    pad = lambda a: jnp.pad(a, ((M, M), (0, 0)))
+    out = _scan_core(pad(raw),
+                     pad(cband) if with_captures else None,
+                     pad(eband) if with_captures else None,
+                     pad(cand_mask), plan, p_list, thr, allowed,
+                     with_captures)
     crop = lambda a: a[M:-M]
     if with_captures:
+        counts, captured, outs = out
         captured = {p: crop(v) for p, v in captured.items()}
         outs = {p: [crop(v) for v in o] for p, o in outs.items()}
         return counts, captured, outs
-    return counts
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=('plan', 'p_list', 'thr'))

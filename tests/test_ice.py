@@ -1,0 +1,102 @@
+"""ICE balancing: the on-device implementation against an independent
+dense NumPy reference of the same algorithm (cooler's cis-only iterative
+correction semantics: ignore-diag zeroing, min_nnz/mad_max filters,
+scale-free convergence, sqrt-rescaled bias, NaN at filtered bins)."""
+import numpy as np
+import pytest
+
+from hicpeaks_tpu.ops.ice import ice_balance_chrom
+
+
+def _numpy_ice(S, ignore_diags=1, mad_max=5, min_nnz=10, min_count=0,
+               tol=1e-5, max_iters=200):
+    """Dense symmetric reference implementation."""
+    S = S.copy()
+    n = S.shape[0]
+    for d in range(-ignore_diags + 1, ignore_diags):
+        idx = np.arange(n - abs(d))
+        S[idx + max(-d, 0), idx + max(d, 0)] = 0
+
+    nnz = (S != 0).sum(axis=1)
+    marg0 = S.sum(axis=1)
+    mask = np.ones(n, bool)
+    if min_nnz > 0:
+        mask &= nnz >= min_nnz
+    if min_count > 0:
+        mask &= marg0 >= min_count
+    if mad_max > 0:
+        m = np.where(mask, marg0, 0.0)
+        logm = np.log(m[m > 0])
+        med = np.median(logm)
+        dev = np.median(np.abs(logm - med))
+        cutoff = np.exp(med - mad_max * dev)
+        mask &= m >= cutoff
+
+    b = mask.astype(float)
+    var = np.inf
+    it = 0
+    while var >= tol and it < max_iters:
+        m = b * (S @ b)
+        nz = m > 0
+        mean = m[nz].mean()
+        rel = np.where(nz, m / mean, 1.0)
+        b = b / rel
+        var = ((m[nz] / mean - 1.0) ** 2).mean()
+        it += 1
+    m = b * (S @ b)
+    scale = m[m > 0].mean()
+    b = b / np.sqrt(scale)
+    w = np.where(mask & (b > 0), b, np.nan)
+    return w
+
+
+def _random_symmetric_counts(n, seed=0, gap_bins=()):
+    rng = np.random.default_rng(seed)
+    bias = np.exp(rng.normal(0, 0.4, n))
+    d = np.abs(np.arange(n)[:, None] - np.arange(n)[None, :])
+    lam = 20.0 / (1.0 + d) ** 0.8 * bias[:, None] * bias[None, :]
+    A = rng.poisson(lam)
+    S = np.triu(A) + np.triu(A, 1).T
+    S = S.astype(float)
+    for g in gap_bins:
+        S[g, :] = 0
+        S[:, g] = 0
+    return S
+
+
+@pytest.mark.parametrize('gaps', [(), (7, 8, 30)])
+def test_device_ice_matches_numpy_reference(gaps):
+    n = 96
+    S = _random_symmetric_counts(n, seed=4, gap_bins=gaps)
+    want = _numpy_ice(S)
+
+    num = n
+    band = np.zeros((num, n))
+    for d in range(num):
+        idx = np.arange(n - d)
+        band[d, idx] = S[idx, idx + d]
+    got = ice_balance_chrom(band, n).bias
+
+    np.testing.assert_array_equal(np.isnan(got), np.isnan(want))
+    ok = ~np.isnan(want)
+    np.testing.assert_allclose(got[ok], want[ok], rtol=1e-6)
+
+
+def test_ice_equalizes_marginals():
+    n = 128
+    S = _random_symmetric_counts(n, seed=9)
+    w = ice_balance_chrom(_to_band(S), n).bias
+    ok = ~np.isnan(w)
+    B = S * np.outer(np.where(ok, w, 0), np.where(ok, w, 0))
+    np.fill_diagonal(B, 0)   # ignore_diags=1
+    marg = B.sum(axis=1)[ok]
+    np.testing.assert_allclose(marg, marg.mean(), rtol=2e-2)
+
+
+def _to_band(S):
+    n = S.shape[0]
+    band = np.zeros((n, n))
+    for d in range(n):
+        idx = np.arange(n - d)
+        band[d, idx] = S[idx, idx + d]
+    return band
