@@ -1,0 +1,116 @@
+"""Genome-wide peak-calling API.
+
+The reference fans chromosomes out over a multiprocess pool
+(scripts/pyHICCUPS:192-198); here chromosomes stream through the device
+sequentially (each already saturating the chip — or a device mesh with
+``mesh=``), with:
+
+* per-chromosome durable checkpoints (JSON peak tables) so a failed run
+  resumes from the last finished chromosome — the aux-subsystem answer to
+  the reference's none (SURVEY §5 failure-detection/checkpoint rows);
+* per-chromosome observability: wall-clock, candidate-pixel counts and
+  pixels-scored/s via the standard logging tree, mirroring the reference's
+  per-chromosome progress messages;
+* optional ``jax.profiler`` trace capture for the device phases.
+"""
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+
+import numpy as np
+
+from .core import engine
+from .core.config import BHFDRConfig, HiccupsConfig
+from .io.coolerlite import CoolerLite
+from .ops.band import bands_from_cooler
+
+log = logging.getLogger(__name__)
+
+
+def _ckpt_path(checkpoint_dir, kind, chrom):
+    return os.path.join(checkpoint_dir, f'{kind}.{chrom}.json')
+
+
+def _save_ckpt(path, table):
+    payload = {','.join(map(str, k)): list(map(float, v))
+               for k, v in table.items()}
+    tmp = path + '.tmp'
+    with open(tmp, 'w') as f:
+        json.dump(payload, f)
+    os.replace(tmp, path)
+
+
+def _load_ckpt(path):
+    with open(path) as f:
+        payload = json.load(f)
+    return {tuple(int(float(x)) for x in k.split(',')): tuple(v)
+            for k, v in payload.items()}
+
+
+def _selected_chroms(clr: CoolerLite, chroms):
+    out = []
+    for key in clr.chromnames:
+        label = key.lstrip('chr')
+        if (not chroms) or (label.isdigit() and '#' in chroms) or \
+                (label in chroms):
+            out.append(key)
+    return out
+
+
+def _run(kind, cooler_uri, cfg, chroms, mesh, scan_backend, checkpoint_dir,
+         dtype, profile_dir):
+    clr = CoolerLite(cooler_uri)
+    results = {}
+    ww_min = cfg.ww_min
+    caller = engine.hiccups_chrom if kind == 'hiccups' else engine.bhfdr_chrom
+    if checkpoint_dir:
+        os.makedirs(checkpoint_dir, exist_ok=True)
+    if profile_dir:
+        import jax
+        jax.profiler.start_trace(profile_dir)
+    try:
+        for key in _selected_chroms(clr, chroms):
+            label = key.lstrip('chr')
+            if checkpoint_dir:
+                ck = _ckpt_path(checkpoint_dir, kind, label)
+                if os.path.exists(ck):
+                    log.info('Chrom:%s, resuming from checkpoint', label)
+                    results[label] = _load_ckpt(ck)
+                    continue
+            t0 = time.perf_counter()
+            bands = bands_from_cooler(clr, key, cfg.maxapart, cfg.maxww,
+                                      ww_min, dtype=dtype,
+                                      weight_name=cfg.clr_weight_name)
+            n_cand = int((bands.raw != 0).sum())
+            table = caller(bands, cfg, mesh=mesh, scan_backend=scan_backend)
+            dt = time.perf_counter() - t0
+            log.info('Chrom:%s, %d band pixels scored in %.2fs '
+                     '(%.0f pixels/s), %d peaks', label, n_cand, dt,
+                     n_cand / max(dt, 1e-9), len(table))
+            results[label] = table
+            if checkpoint_dir:
+                _save_ckpt(_ckpt_path(checkpoint_dir, kind, label), table)
+    finally:
+        if profile_dir:
+            import jax
+            jax.profiler.stop_trace()
+    return results
+
+
+def call_hiccups(cooler_uri, cfg: HiccupsConfig = None, chroms=('#', 'X'),
+                 mesh=None, scan_backend='auto', checkpoint_dir=None,
+                 dtype=np.float32, profile_dir=None):
+    """-> {chrom_label: {(x_bp, y_bp): 10-tuple}} (see engine.hiccups_chrom)."""
+    return _run('hiccups', cooler_uri, cfg or HiccupsConfig(), chroms, mesh,
+                scan_backend, checkpoint_dir, dtype, profile_dir)
+
+
+def call_bhfdr(cooler_uri, cfg: BHFDRConfig = None, chroms=('#', 'X'),
+               mesh=None, scan_backend='auto', checkpoint_dir=None,
+               dtype=np.float32, profile_dir=None):
+    """-> {chrom_label: {(x_bp, y_bp): 7-tuple}} (see engine.bhfdr_chrom)."""
+    return _run('bhfdr', cooler_uri, cfg or BHFDRConfig(), chroms, mesh,
+                scan_backend, checkpoint_dir, dtype, profile_dir)

@@ -70,6 +70,9 @@ def hiccups_main(argv=None):
     g.add_argument('--mesh-devices', type=int, default=0,
                    help='Shard each chromosome band across this many devices '
                    '(0 = single device).')
+    g.add_argument('--checkpoint-dir', default=None,
+                   help='Persist per-chromosome peak tables here and resume '
+                   'finished chromosomes on rerun.')
     args = parser.parse_args(argv if argv is not None else sys.argv[1:])
     if args.output is None:
         parser.print_help()
@@ -90,11 +93,10 @@ def hiccups_main(argv=None):
         ('Maximum Genomic distance', args.maxapart),
         ('Mesh devices', args.mesh_devices)])
 
+    from ..api import call_hiccups
     from ..core.config import HiccupsConfig
-    from ..core.engine import hiccups_chrom
     from ..io.coolerlite import CoolerLite
     from ..io.peakfile import write_hiccups_bedpe
-    from ..ops.band import bands_from_cooler
 
     cfg = HiccupsConfig(
         pw=tuple(args.pw), ww=tuple(args.ww), maxww=args.maxww,
@@ -110,18 +112,13 @@ def hiccups_main(argv=None):
         mesh = make_tile_mesh(args.mesh_devices)
 
     logger.info('Loading Hi-C data ...')
-    clr = CoolerLite(args.path)
-    res = clr.binsize
+    res = CoolerLite(args.path).binsize
     logger.info('Calling Peaks ...')
+    results = call_hiccups(args.path, cfg, chroms=args.chroms, mesh=mesh,
+                           checkpoint_dir=args.checkpoint_dir)
     with open(args.output, 'w') as out:
-        for key in clr.chromnames:
-            if not chrom_selected(key, args.chroms):
-                continue
-            bands = bands_from_cooler(clr, key, cfg.maxapart, cfg.maxww,
-                                      cfg.ww_min,
-                                      weight_name=cfg.clr_weight_name)
-            table = hiccups_chrom(bands, cfg, mesh=mesh)
-            write_hiccups_bedpe(out, key.lstrip('chr'), res, table)
+        for label, table in results.items():
+            write_hiccups_bedpe(out, label, res, table)
     logger.info('Done!')
     return 0
 
@@ -151,6 +148,9 @@ def bhfdr_main(argv=None):
                    help='Accepted for compatibility.')
     g.add_argument('--mesh-devices', type=int, default=0,
                    help='Shard each chromosome band across this many devices.')
+    g.add_argument('--checkpoint-dir', default=None,
+                   help='Persist per-chromosome peak tables here and resume '
+                   'finished chromosomes on rerun.')
     args = parser.parse_args(argv if argv is not None else sys.argv[1:])
     if args.output is None:
         parser.print_help()
@@ -165,11 +165,10 @@ def bhfdr_main(argv=None):
         ('Maximum Genomic distance', args.maxapart),
         ('Weight column name', args.clr_weight_name)])
 
+    from ..api import call_bhfdr
     from ..core.config import BHFDRConfig
-    from ..core.engine import bhfdr_chrom
     from ..io.coolerlite import CoolerLite
     from ..io.peakfile import write_bhfdr_bedpe
-    from ..ops.band import bands_from_cooler
 
     cfg = BHFDRConfig(pw=args.pw, ww=args.ww, maxww=args.maxww,
                       siglevel=args.siglevel, maxapart=args.maxapart,
@@ -180,17 +179,12 @@ def bhfdr_main(argv=None):
         mesh = make_tile_mesh(args.mesh_devices)
 
     logger.info('Loading Hi-C data ...')
-    clr = CoolerLite(args.path)
-    res = clr.binsize
+    res = CoolerLite(args.path).binsize
     logger.info('Calling Peaks ...')
+    results = call_bhfdr(args.path, cfg, chroms=args.chroms, mesh=mesh,
+                         checkpoint_dir=args.checkpoint_dir)
     with open(args.output, 'w') as out:
-        for key in clr.chromnames:
-            if not chrom_selected(key, args.chroms):
-                continue
-            bands = bands_from_cooler(clr, key, cfg.maxapart, cfg.maxww,
-                                      cfg.ww,
-                                      weight_name=cfg.clr_weight_name)
-            table = bhfdr_chrom(bands, cfg, mesh=mesh)
-            write_bhfdr_bedpe(out, key.lstrip('chr'), res, table)
+        for label, table in results.items():
+            write_bhfdr_bedpe(out, label, res, table)
     logger.info('Done!')
     return 0

@@ -63,7 +63,33 @@ def _score_one(raw, cband, IR, Bprod, bSV, bEV, wi, cand, L, sig, gap_drop,
                 p=take(pval), q=take(qval), prod=prod)
 
 
-def bhfdr_chrom(bands: ChromBands, cfg: BHFDRConfig, mesh=None):
+def _capture_pass(raw, cband, eband, cand, allowed, plan, p_list, thr, mesh,
+                  scan_backend):
+    """Dispatch the capture pass: sharded jnp scan on a mesh, fused Pallas
+    kernel on a single accelerator ('auto' picks Pallas on TPU), plain jnp
+    otherwise ('pallas-interpret' runs the kernel in interpreter mode for
+    CPU testing)."""
+    import jax
+    if mesh is not None:
+        from ..parallel import tiles
+        _, _, outs = tiles.scan_pass_b_sharded(raw, cband, eband, cand,
+                                               allowed, plan, p_list, thr,
+                                               mesh)
+        return outs
+    if scan_backend == 'auto':
+        scan_backend = 'pallas' if jax.default_backend() == 'tpu' else 'jnp'
+    if scan_backend in ('pallas', 'pallas-interpret'):
+        from ..ops.pallas_scan import scan_pass_b_pallas
+        return scan_pass_b_pallas(raw, cband, eband, cand, allowed, plan,
+                                  p_list, thr,
+                                  interpret=scan_backend == 'pallas-interpret')
+    _, _, outs = scan_ops.scan_pass_b(raw, cband, eband, cand, allowed,
+                                      plan, p_list, thr)
+    return outs
+
+
+def bhfdr_chrom(bands: ChromBands, cfg: BHFDRConfig, mesh=None,
+                scan_backend='auto'):
     """Donut-only caller (reference callers.py:364-590).  Returns
     {(x_bp, y_bp): (cen_x_bp, cen_y_bp, radius_bp, O, Fold, p, q)}.
     With ``mesh`` the scan shards band tiles across devices with halo
@@ -84,14 +110,8 @@ def bhfdr_chrom(bands: ChromBands, cfg: BHFDRConfig, mesh=None):
         counts = tiles.scan_pass_a_sharded(raw, cand, plan, (cfg.pw,), 16, mesh)
     decision = poolplan.emulate_freeze_bhfdr(plan, np.asarray(counts), total)
     allowed = jnp.asarray(decision.allowed)
-    if mesh is None:
-        _, _, outs = scan_ops.scan_pass_b(raw, cband, eband, cand, allowed,
-                                          plan, (cfg.pw,), 16)
-    else:
-        from ..parallel import tiles
-        _, _, outs = tiles.scan_pass_b_sharded(raw, cband, eband, cand,
-                                               allowed, plan, (cfg.pw,), 16,
-                                               mesh)
+    outs = _capture_pass(raw, cband, eband, cand, allowed, plan,
+                         (cfg.pw,), 16, mesh, scan_backend)
     KS, KE, _, _ = outs[cfg.pw]
 
     gap = bands.cband.sum(axis=0) == 0
@@ -115,7 +135,8 @@ def bhfdr_chrom(bands: ChromBands, cfg: BHFDRConfig, mesh=None):
     return pixel_table
 
 
-def hiccups_chrom(bands: ChromBands, cfg: HiccupsConfig, mesh=None):
+def hiccups_chrom(bands: ChromBands, cfg: HiccupsConfig, mesh=None,
+                  scan_backend='auto'):
     """Two-background multi-parameter caller (reference callers.py:44-362).
     Returns {(x_bp, y_bp): (cen_x, cen_y, radius, O, FoldK, pK, qK,
     FoldY, pY, qY)} in bp.  With ``mesh`` the scan shards band tiles
@@ -141,14 +162,8 @@ def hiccups_chrom(bands: ChromBands, cfg: HiccupsConfig, mesh=None):
     decision = poolplan.emulate_freeze_hiccups(plan, np.asarray(counts),
                                                total, ww)
     allowed = jnp.asarray(decision.allowed)
-    if mesh is None:
-        _, _, outs = scan_ops.scan_pass_b(raw, cband, eband, cand, allowed,
-                                          plan, p_list, cfg.min_local_reads)
-    else:
-        from ..parallel import tiles
-        _, _, outs = tiles.scan_pass_b_sharded(raw, cband, eband, cand,
-                                               allowed, plan, p_list,
-                                               cfg.min_local_reads, mesh)
+    outs = _capture_pass(raw, cband, eband, cand, allowed, plan, p_list,
+                         cfg.min_local_reads, mesh, scan_backend)
 
     gap = bands.cband.sum(axis=0) == 0
     gap_drop = jnp.asarray(score_ops.gap_reject_host(gap, num_p, L, min(ww)))
