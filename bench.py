@@ -1,66 +1,88 @@
 #!/usr/bin/env python
-"""Benchmark: hiccups donut-scoring throughput on one TPU chip.
+"""Benchmark: hiccups scoring throughput on one TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line to stdout:
+  {"metric": ..., "value": N, "unit": "pixels/s", "vs_baseline": N}
 
-Baseline: the reference CPU implementation scores ~20K candidate
-pixels/s on the K562 10Kb pyHICCUPS run (139.9M band pixels in 7053 s,
-README.rst:291; BASELINE.md derivation).  Here a synthetic chromosome of
-comparable per-pixel work (10Kb bins, pw/ww=(2,5), 5Mb search space) runs
-the full device pipeline — widening ring scan with background capture,
-corrected expected values, lambda-chunk Poisson p-values, segmented BH,
-gap filter — and reports candidate pixels scored per second per chip.
+Baseline: the reference CPU implementation scores ~20K candidate pixels/s
+(K562 10Kb pyHICCUPS: 139.9M band pixels / 7053 s, README.rst:291 —
+BASELINE.md).  Here a synthetic chromosome at 10Kb with a 2Mb search span
+runs the production device pipeline per iteration:
+  pass A (freeze counts) + Pallas fused capture pass + corrected
+  expectations + lambda-chunk Poisson p-values + segmented BH + gap filter
+for both backgrounds, and reports candidate pixels scored per second.
+
+Stage progress goes to stderr so a stalled compile is diagnosable.
+Environment knobs: HICPEAKS_BENCH_L (bins), HICPEAKS_BENCH_SPAN (bp),
+HICPEAKS_BENCH_BACKEND (pallas|jnp), HICPEAKS_BENCH_ITERS.
 """
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
 
+def log(msg):
+    print(f'[bench] {msg}', file=sys.stderr, flush=True)
+
+
+def _install_watchdog(seconds=1500):
+    """If the remote-TPU tunnel wedges, emit an honest failure line instead
+    of hanging the driver."""
+    import signal
+
+    def on_alarm(signum, frame):
+        print(json.dumps({
+            'metric': 'pixels-scored/s/chip (TIMED OUT: device or tunnel '
+                      'unresponsive)',
+            'value': 0.0,
+            'unit': 'pixels/s',
+            'vs_baseline': 0.0,
+        }), flush=True)
+        os._exit(2)
+
+    signal.signal(signal.SIGALRM, on_alarm)
+    signal.alarm(seconds)
+
+
 def main():
+    t_start = time.time()
+    _install_watchdog(int(os.environ.get('HICPEAKS_BENCH_TIMEOUT', 1500)))
+    os.environ.setdefault('JAX_COMPILATION_CACHE_DIR',
+                          os.path.join(os.path.dirname(
+                              os.path.abspath(__file__)), '.jax_cache'))
     import jax
     import jax.numpy as jnp
-    from hicpeaks_tpu.core import flagship, poolplan
+    from hicpeaks_tpu.core import poolplan
     from hicpeaks_tpu.io.synth import synthesize_chrom
+    from hicpeaks_tpu.ops import scan as scan_ops
+    from hicpeaks_tpu.ops import score as score_ops
     from hicpeaks_tpu.ops.band import build_bands
 
-    # chromosome-scale band: L bins at 10Kb, 5Mb search space, maxww 10
+    log(f'devices: {jax.devices()}')
+
     res = 10000
-    L = 24576
-    maxapart = 5_000_000
+    L = int(os.environ.get('HICPEAKS_BENCH_L', 16384))
+    maxapart = int(os.environ.get('HICPEAKS_BENCH_SPAN', 2_000_000))
+    backend = os.environ.get('HICPEAKS_BENCH_BACKEND', 'pallas')
+    n_iters = int(os.environ.get('HICPEAKS_BENCH_ITERS', 5))
     maxww = 10
     pw, ww = (2,), (5,)
     num = maxapart // res + maxww + 1
 
     b1, b2, ct, _, bias_vec = synthesize_chrom(
         n_bins=L, res=res, seed=0, depth=40.0, n_loops=200, decay=0.75,
-        max_loop_span_bins=200)
+        max_loop_span_bins=min(200, num - maxww - 2))
     w = np.full(L, np.nan)
     ok = bias_vec > 0
     w[ok] = 1.0 / bias_vec[ok]
-    # widen the synthetic band to the full search space with a thinner tail
-    rng = np.random.default_rng(1)
-    extra_d = np.arange(264, num, 1)
-    tail_rows = []
-    for d in extra_d:
-        lam = 40.0 * (1.0 + d) ** -0.75 * 0.5
-        n_nz = int((L - d) * min(1.0, lam))
-        xs = rng.integers(0, max(L - d, 1), size=max(n_nz, 1))
-        tail_rows.append((np.full(xs.size, 0) + xs, xs + d,
-                          rng.poisson(max(lam, 0.2), xs.size) + 1))
-    b1 = np.concatenate([b1] + [t[0] for t in tail_rows])
-    b2 = np.concatenate([b2] + [t[1] for t in tail_rows])
-    ct = np.concatenate([ct] + [t[2] for t in tail_rows])
-
-    bands = build_bands(b1, b2, ct, w, L, num, min(ww), res,
-                        dtype=np.float32)
+    bands = build_bands(b1, b2, ct, w, L, num, min(ww), res, dtype=np.float32)
+    log(f'bands built: {bands.raw.shape}, nnz={int((bands.raw != 0).sum())}')
 
     plan = tuple(poolplan.hiccups_pool_plan(list(pw), list(ww), maxww))
     p_list = tuple(sorted(set(pw)))
-    pairs = tuple(zip(pw, ww))
-
-    from hicpeaks_tpu.ops import score as score_ops
 
     raw = jnp.asarray(bands.raw)
     cband = jnp.asarray(bands.cband)
@@ -68,38 +90,86 @@ def main():
     num_p = raw.shape[0]
     Bprod = jnp.asarray(score_ops.bias_product_host(bands.bias, num_p))
     gap = bands.cband.sum(axis=0) == 0
-    gap_drop = jnp.asarray(score_ops.gap_reject_host(gap, num_p, bands.L,
-                                                     min(ww)))
+    gap_drop = jnp.asarray(
+        score_ops.gap_reject_host(gap, num_p, bands.L, min(ww)))
     col = jnp.arange(raw.shape[1])[None, :]
     drow = jnp.arange(num_p)[:, None]
     eband = jnp.where(col < (bands.L - drow), IR[:, None], 0.0)
     cand = (raw != 0) & (drow >= min(ww)) & (drow <= maxapart // res)
     allowed = jnp.ones(len(plan), bool)
     n_cand = int(np.asarray(jnp.sum(cand)))
+    jax.block_until_ready((raw, cband, eband, Bprod, gap_drop, cand))
+    log(f'arrays staged: {n_cand} candidate pixels')
 
-    def step():
-        return flagship.hiccups_device_step(
-            raw, cband, eband, IR, Bprod, cand, allowed, gap_drop,
-            plan=plan, p_list=p_list, thr=16, pairs=pairs, L=bands.L)
+    # --- stage 1: pass A (freeze counts; jnp scan on raw quadrants) ---
+    t0 = time.time()
+    counts = scan_ops.scan_pass_a(raw, cand, plan, p_list, 16)
+    jax.block_until_ready(counts)
+    log(f'pass A compiled+ran in {time.time() - t0:.1f}s')
 
-    out = step()
-    jax.block_until_ready(out)          # compile + warm
-    n_iters = 5
+    # --- stage 2: capture pass ---
+    if backend == 'pallas':
+        from hicpeaks_tpu.ops.pallas_scan import scan_pass_b_pallas
+
+        def capture():
+            return scan_pass_b_pallas(raw, cband, eband, cand, allowed,
+                                      plan, p_list, 16)
+    else:
+        def capture():
+            return scan_ops.scan_pass_b(raw, cband, eband, cand, allowed,
+                                        plan, p_list, 16)[2]
+    t0 = time.time()
+    outs = capture()
+    jax.block_until_ready(outs)
+    log(f'capture pass ({backend}) compiled+ran in {time.time() - t0:.1f}s')
+
+    # --- stage 3: scoring (both backgrounds) ---
+    @jax.jit
+    def score(outs):
+        KS, KE, YS, YE = outs[pw[0]]
+        res_out = []
+        for bSV, bEV in ((KS, KE), (YS, YE)):
+            E, O, ICE, Fold, scored, prod = score_ops.expected_observed(
+                raw, cband, IR, Bprod, bSV, bEV, ww[0], cand, bands.L)
+            cid, rv, valid = score_ops.lambda_chunks(E, scored)
+            pval = jnp.where(valid, score_ops.poisson_sf(O, rv), 1.0)
+            qval = score_ops.segmented_bh(pval, cid, valid)
+            keep = scored & (qval <= 0.05) & ~gap_drop
+            res_out.append((qval, keep))
+        return res_out
+
+    t0 = time.time()
+    s = score(outs)
+    jax.block_until_ready(s)
+    log(f'scoring compiled+ran in {time.time() - t0:.1f}s')
+
+    # --- timed loop: full pipeline ---
+    def full():
+        c = scan_ops.scan_pass_a(raw, cand, plan, p_list, 16)
+        o = capture()
+        return c, score(o)
+
+    out = full()
+    jax.block_until_ready(out)
     t0 = time.perf_counter()
     for _ in range(n_iters):
-        out = step()
+        out = full()
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / n_iters
+    log(f'steady-state {dt * 1e3:.1f} ms/iter; total bench wall '
+        f'{time.time() - t_start:.0f}s')
 
     pixels_per_s = n_cand / dt
-    baseline = 20_000.0                  # reference CPU pixels-scored/s
+    baseline = 20_000.0
     print(json.dumps({
-        'metric': 'pixels-scored/s/chip (hiccups donut pipeline, '
-                  f'{n_cand} candidates, L={L}@10Kb, 5Mb span)',
+        'metric': f'pixels-scored/s/chip (hiccups pipeline, {backend} '
+                  f'capture, {n_cand} candidates, L={L}@10Kb, '
+                  f'{maxapart // 1000000}Mb span)',
         'value': round(pixels_per_s, 1),
         'unit': 'pixels/s',
         'vs_baseline': round(pixels_per_s / baseline, 2),
     }))
+    return 0
 
 
 if __name__ == '__main__':
