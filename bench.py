@@ -84,20 +84,27 @@ def main():
     plan = tuple(poolplan.hiccups_pool_plan(list(pw), list(ww), maxww))
     p_list = tuple(sorted(set(pw)))
 
+    num_p = bands.raw.shape[0]
+    Bprod_np = score_ops.bias_product_host(bands.bias, num_p).astype(np.float32)
+    gap = bands.cband.sum(axis=0) == 0
+    gap_drop_np = score_ops.gap_reject_host(gap, num_p, bands.L, min(ww))
+    col = np.arange(bands.raw.shape[1])[None, :]
+    drow = np.arange(num_p)[:, None]
+    eband_np = np.where(col < (bands.L - drow),
+                        bands.IR[:, None], 0.0).astype(np.float32)
+    cand_np = (bands.raw != 0) & (drow >= min(ww)) & \
+        (drow <= maxapart // res)
+    n_cand = int(cand_np.sum())
+
+    # transfers only — zero eager device compute before the first jit
     raw = jnp.asarray(bands.raw)
     cband = jnp.asarray(bands.cband)
     IR = jnp.asarray(bands.IR)
-    num_p = raw.shape[0]
-    Bprod = jnp.asarray(score_ops.bias_product_host(bands.bias, num_p))
-    gap = bands.cband.sum(axis=0) == 0
-    gap_drop = jnp.asarray(
-        score_ops.gap_reject_host(gap, num_p, bands.L, min(ww)))
-    col = jnp.arange(raw.shape[1])[None, :]
-    drow = jnp.arange(num_p)[:, None]
-    eband = jnp.where(col < (bands.L - drow), IR[:, None], 0.0)
-    cand = (raw != 0) & (drow >= min(ww)) & (drow <= maxapart // res)
-    allowed = jnp.ones(len(plan), bool)
-    n_cand = int(np.asarray(jnp.sum(cand)))
+    Bprod = jnp.asarray(Bprod_np)
+    gap_drop = jnp.asarray(gap_drop_np)
+    eband = jnp.asarray(eband_np)
+    cand = jnp.asarray(cand_np)
+    allowed = jnp.asarray(np.ones(len(plan), bool))
     jax.block_until_ready((raw, cband, eband, Bprod, gap_drop, cand))
     log(f'arrays staged: {n_cand} candidate pixels')
 

@@ -18,30 +18,39 @@ from .clustering import local_clustering
 from .config import BHFDRConfig, HiccupsConfig
 
 
-def _candidates(raw, num_p, d_lo, d_hi):
-    drow = jnp.arange(num_p)[:, None]
-    return (raw != 0) & (drow >= d_lo) & (drow <= d_hi)
+def _candidates(raw_np, num_p, d_lo, d_hi):
+    """Candidate mask, staged in numpy (no eager device dispatch — every
+    eager op costs a remote-compile round trip on tunneled TPU backends)."""
+    drow = np.arange(num_p)[:, None]
+    return (raw_np != 0) & (drow >= d_lo) & (drow <= d_hi)
 
 
 def _band_arrays(bands: ChromBands, mesh=None):
+    num_p = bands.raw.shape[0]
+    col = np.arange(bands.raw.shape[1])[None, :]
+    drow = np.arange(num_p)[:, None]
+    eband_np = np.where(col < (bands.L - drow),
+                        bands.IR[:, None], 0.0).astype(bands.raw.dtype)
     raw = jnp.asarray(bands.raw)
     cband = jnp.asarray(bands.cband)
+    eband = jnp.asarray(eband_np)
     IR = jnp.asarray(bands.IR)
     bias = jnp.asarray(bands.bias)
-    num_p = raw.shape[0]
-    col = jnp.arange(raw.shape[1])[None, :]
-    drow = jnp.arange(num_p)[:, None]
-    eband = jnp.where(col < (bands.L - drow), IR[:, None], 0.0)
     if mesh is not None:
         from ..parallel.tiles import shard_band
         raw, cband, eband = (shard_band(a, mesh) for a in (raw, cband, eband))
     return raw, cband, eband, IR, bias
 
 
-def _score_one(raw, cband, IR, Bprod, bSV, bEV, wi, cand, L, sig, gap_drop,
-               chunked: bool):
-    """Poisson scoring of one background; returns host-side kept-pixel
-    arrays (x, y, O, ICE, Fold, p, q) plus the dense EM*ratio product."""
+import functools
+import jax
+
+
+@functools.partial(jax.jit, static_argnames=('wi', 'L', 'chunked'))
+def _score_device(raw, cband, IR, Bprod, bSV, bEV, cand, gap_drop, sig,
+                  wi, L, chunked):
+    """Jitted device half of background scoring (single compile per
+    shape/config; no eager dispatch)."""
     E, O, ICE, Fold, scored, prod = score_ops.expected_observed(
         raw, cband, IR, Bprod, bSV, bEV, wi, cand, L)
     if chunked:
@@ -54,6 +63,16 @@ def _score_one(raw, cband, IR, Bprod, bSV, bEV, wi, cand, L, sig, gap_drop,
             pval, jnp.ones(E.shape, jnp.int32), scored)
     reject = scored & (qval <= sig)
     keep = reject & ~gap_drop
+    return pval, qval, keep, O, ICE, Fold, prod
+
+
+def _score_one(raw, cband, IR, Bprod, bSV, bEV, wi, cand, L, sig, gap_drop,
+               chunked: bool):
+    """Poisson scoring of one background; returns host-side kept-pixel
+    arrays (x, y, O, ICE, Fold, p, q) plus the dense EM*ratio product."""
+    pval, qval, keep, O, ICE, Fold, prod = _score_device(
+        raw, cband, IR, Bprod, bSV, bEV, cand, gap_drop, sig,
+        wi=int(wi), L=int(L), chunked=chunked)
 
     keep_np = np.asarray(keep)
     d_idx, x_idx = np.nonzero(keep_np)
@@ -100,8 +119,9 @@ def bhfdr_chrom(bands: ChromBands, cfg: BHFDRConfig, mesh=None,
     num_p = raw.shape[0]
 
     plan = tuple(poolplan.bhfdr_pool_plan(cfg.pw, cfg.ww, cfg.maxww))
-    cand = _candidates(raw, num_p, cfg.ww, cfg.maxapart // res)
-    total = int(jnp.sum(cand))
+    cand_np = _candidates(bands.raw, num_p, cfg.ww, cfg.maxapart // res)
+    total = int(cand_np.sum())
+    cand = jnp.asarray(cand_np)
 
     if mesh is None:
         counts = scan_ops.scan_pass_a(raw, cand, plan, (cfg.pw,), 16)
@@ -149,8 +169,9 @@ def hiccups_chrom(bands: ChromBands, cfg: HiccupsConfig, mesh=None,
 
     plan = tuple(poolplan.hiccups_pool_plan(pw, ww, cfg.maxww))
     p_list = tuple(sorted(set(pw)))
-    cand = _candidates(raw, num_p, min(ww), cfg.maxapart // res)
-    total = int(jnp.sum(cand))
+    cand_np = _candidates(bands.raw, num_p, min(ww), cfg.maxapart // res)
+    total = int(cand_np.sum())
+    cand = jnp.asarray(cand_np)
 
     if mesh is None:
         counts = scan_ops.scan_pass_a(raw, cand, plan, p_list,

@@ -25,17 +25,33 @@ from jax.experimental.pallas import tpu as pltpu
 from . import scan as scan_ops
 
 
-def _choose_tiles(num_p, Lp, M, n_p, vmem_budget=12 * 2 ** 20):
+def _shift2_roll(a, dd, dx):
+    """Mosaic-friendly shift: circular roll + zero-mask of the wrapped
+    region (pad+slice lowers to unaligned concats Mosaic rejects)."""
+    n, m = a.shape
+    out = a
+    if dd:
+        out = pltpu.roll(out, (-dd) % n, axis=0)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (n, m), 0)
+        out = jnp.where((rows + dd >= 0) & (rows + dd < n), out, 0)
+    if dx:
+        out = pltpu.roll(out, (-dx) % m, axis=1)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (n, m), 1)
+        out = jnp.where((cols + dx >= 0) & (cols + dx < m), out, 0)
+    return out
+
+
+def _choose_tiles(num_p, Lp, Mr, Mc, n_p, vmem_budget=11 * 2 ** 20):
     """Pick (ROW_TILE, COL_TILE) so the live set fits in VMEM."""
     live_arrays = 4 + 10 + 5 + 4 * n_p + 2
     for col in (512, 384, 256, 128):
-        for row in (256, 128, 64, 32):
+        for row in (256, 128, 64, 32, 16, 8):
             if row > num_p or col > Lp:
                 continue
-            slab = (row + 2 * M) * (col + 2 * M) * 4
+            slab = (row + 2 * Mr) * (col + 2 * Mc) * 4
             if live_arrays * slab <= vmem_budget:
                 return row, col
-    return 32, 128
+    return 8, 128
 
 
 def _pad_to(x, mult):
@@ -51,15 +67,19 @@ def scan_pass_b_pallas(raw, cband, eband, cand_mask, allowed, plan, p_list,
     Returns {p: [KS, KE, YS, YE]} dense [num_p, Lp] arrays."""
     num_p, Lp = raw.shape
     M = scan_ops._row_margin(plan)
+    # Mosaic DMA slices must respect the (8, 128) tiling: round the halo
+    # margins up so every slab size and offset stays aligned
+    Mr = _pad_to(M, 8)
+    Mc = _pad_to(M, 128)
     n_p = len(p_list)
-    R, T = _choose_tiles(num_p, Lp, M, n_p)
+    R, T = _choose_tiles(num_p, Lp, Mr, Mc, n_p)
 
     num_pad = _pad_to(num_p, R)
     col_pad = _pad_to(Lp, T)
     grid = (num_pad // R, col_pad // T)
 
     def prep(a, fill=0):
-        a = jnp.pad(a, ((M, M + num_pad - num_p), (M, M + col_pad - Lp)),
+        a = jnp.pad(a, ((Mr, Mr + num_pad - num_p), (Mc, Mc + col_pad - Lp)),
                     constant_values=fill)
         return a
 
@@ -69,7 +89,7 @@ def scan_pass_b_pallas(raw, cband, eband, cand_mask, allowed, plan, p_list,
     cand_p = prep(cand_mask.astype(raw.dtype))
     allowed_i = allowed.astype(jnp.int32)
 
-    slab_shape = (R + 2 * M, T + 2 * M)
+    slab_shape = (R + 2 * Mr, T + 2 * Mc)
     dtype = raw.dtype
 
     def kernel(allowed_ref, raw_ref, cband_ref, eband_ref, cand_ref,
@@ -84,7 +104,8 @@ def scan_pass_b_pallas(raw, cband, eband, cand_mask, allowed, plan, p_list,
                                             (eband_ref, s_e),
                                             (cand_ref, s_cand))):
                 dma = pltpu.make_async_copy(
-                    src.at[pl.ds(i * R, R + 2 * M), pl.ds(j * T, T + 2 * M)],
+                    src.at[pl.ds(i * R, R + 2 * Mr),
+                           pl.ds(j * T, T + 2 * Mc)],
                     dst, sems.at[k])
                 dma.start()
                 copies.append(dma)
@@ -93,18 +114,20 @@ def scan_pass_b_pallas(raw, cband, eband, cand_mask, allowed, plan, p_list,
 
             rows = jax.lax.broadcasted_iota(jnp.int32, slab_shape, 0)
             cols = jax.lax.broadcasted_iota(jnp.int32, slab_shape, 1)
-            interior = ((rows >= M) & (rows < M + R) &
-                        (cols >= M) & (cols < M + T))
+            interior = ((rows >= Mr) & (rows < Mr + R) &
+                        (cols >= Mc) & (cols < Mc + T))
             cand = (s_cand[:] != 0) & interior
-            allowed_vec = allowed_ref[:] != 0
+            # SMEM only supports scalar loads; the plan is static so read
+            # each entry's gate individually
+            allowed_vec = [allowed_ref[k] != 0 for k in range(len(plan))]
 
             _, _, outs = scan_ops._scan_core(
                 s_raw[:], s_c[:], s_e[:], cand, plan, p_list, thr,
-                allowed_vec, True)
+                allowed_vec, True, shift_fn=_shift2_roll)
             for pi, p in enumerate(p_list):
                 for t in range(4):
                     out_refs[pi * 4 + t][:, :] = \
-                        outs[p][t][M:M + R, M:M + T]
+                        outs[p][t][Mr:Mr + R, Mc:Mc + T]
 
         pl.run_scoped(
             body,

@@ -58,8 +58,9 @@ def shift2(a, dd, dx):
 class _RingState:
     """Incremental line accumulators for one band tensor."""
 
-    def __init__(self, band):
+    def __init__(self, band, shift_fn=None):
         self.band = band
+        self.shift = shift_fn or shift2
         z = jnp.zeros_like(band)
         self.Vx, self.Wx, self.Vn, self.Wq = z, z, z, z
         self.r = 0
@@ -67,14 +68,15 @@ class _RingState:
     def advance(self):
         r = self.r + 1
         band = self.band
-        self.Vx = self.Vx + shift2(band, r, 0) + shift2(band, -r, 0)
-        self.Vn = self.Vn + shift2(band, -r, 0)
+        shift2_ = self.shift
+        self.Vx = self.Vx + shift2_(band, r, 0) + shift2_(band, -r, 0)
+        self.Vn = self.Vn + shift2_(band, -r, 0)
         # ring sums use Wx/Wq at r-1 (pre-update)
-        self._ringK = (shift2(self.Vx, -r, r) + shift2(self.Vx, r, -r)
-                       + shift2(self.Wx, r, 0) + shift2(self.Wx, -r, 0))
-        self._ringQ = shift2(self.Vn, -r, r) + shift2(self.Wq, -r, 0)
-        self.Wx = self.Wx + shift2(band, -r, r) + shift2(band, r, -r)
-        self.Wq = self.Wq + shift2(band, -r, r)
+        self._ringK = (shift2_(self.Vx, -r, r) + shift2_(self.Vx, r, -r)
+                       + shift2_(self.Wx, r, 0) + shift2_(self.Wx, -r, 0))
+        self._ringQ = shift2_(self.Vn, -r, r) + shift2_(self.Wq, -r, 0)
+        self.Wx = self.Wx + shift2_(band, -r, r) + shift2_(band, r, -r)
+        self.Wq = self.Wq + shift2_(band, -r, r)
         self.r = r
 
     def ringK(self):
@@ -91,9 +93,9 @@ class _RingProvider:
     re-add at a later entry) is cached until its final use, so peak extra
     memory stays at a handful of small-radius rings."""
 
-    def __init__(self, bands: dict, pending):
+    def __init__(self, bands: dict, pending, shift_fn=None):
         """``pending``: Counter of (r, kind, which) -> total request count."""
-        self.states = {k: _RingState(v) for k, v in bands.items()}
+        self.states = {k: _RingState(v, shift_fn) for k, v in bands.items()}
         self.pending = dict(pending)
         self.cache = {}
         self.r_cur = 0
@@ -140,7 +142,7 @@ def _row_margin(plan):
 
 
 def _scan_core(raw, cband, eband, cand_mask, plan, p_list, thr, allowed,
-               with_captures: bool):
+               with_captures: bool, shift_fn=None):
     """Ring-scan math on row-pre-padded arrays (margin handling belongs to
     the caller).  Shared between the jnp path (full band, jnp.pad) and the
     Pallas kernel (VMEM slabs).  Outputs are uncropped."""
@@ -148,7 +150,8 @@ def _scan_core(raw, cband, eband, cand_mask, plan, p_list, thr, allowed,
     if with_captures:
         bands['c'] = cband
         bands['e'] = eband
-    provider = _RingProvider(bands, _ring_mentions(plan, with_captures))
+    provider = _RingProvider(bands, _ring_mentions(plan, with_captures),
+                             shift_fn)
 
     zero = jnp.zeros_like(raw)
     accR = zero
