@@ -41,17 +41,27 @@ def _shift2_roll(a, dd, dx):
     return out
 
 
-def _choose_tiles(num_p, Lp, Mr, Mc, n_p, vmem_budget=11 * 2 ** 20):
-    """Pick (ROW_TILE, COL_TILE) so the live set fits in VMEM."""
-    live_arrays = 4 + 10 + 5 + 4 * n_p + 2
-    for col in (512, 384, 256, 128):
-        for row in (256, 128, 64, 32, 16, 8):
-            if row > num_p or col > Lp:
+def _choose_tiles(num_p, Lp, Mr, Mc, n_p, vmem_budget=12 * 2 ** 20):
+    """Pick (ROW_TILE, COL_TILE) minimizing halo-overhead subject to the
+    kernel's VMEM live set fitting.  The live-array count is calibrated
+    against Mosaic's observed stack allocation (~47 slab-sized buffers for
+    a single-p plan: bands + line states + accumulators + captures + DMA
+    double-buffering slop)."""
+    live_arrays = 44 + 8 * n_p
+    best = None
+    for col in (1024, 768, 512, 384, 256, 128):
+        for row in (256, 192, 128, 96, 64, 48, 32, 16, 8):
+            if row > max(num_p, 8) or col > max(Lp, 128):
                 continue
             slab = (row + 2 * Mr) * (col + 2 * Mc) * 4
-            if live_arrays * slab <= vmem_budget:
-                return row, col
-    return 8, 128
+            if live_arrays * slab > vmem_budget:
+                continue
+            overhead = (row + 2 * Mr) * (col + 2 * Mc) / (row * col)
+            if best is None or overhead < best[0]:
+                best = (overhead, row, col)
+    if best is None:
+        return 8, 128
+    return best[1], best[2]
 
 
 def _pad_to(x, mult):
@@ -97,7 +107,7 @@ def scan_pass_b_pallas(raw, cband, eband, cand_mask, allowed, plan, p_list,
         i = pl.program_id(0)
         j = pl.program_id(1)
 
-        def body(s_raw, s_c, s_e, s_cand, sems):
+        def body(s_raw, s_c, s_e, s_cand, s_out, sems, out_sem):
             copies = []
             for k, (src, dst) in enumerate(((raw_ref, s_raw),
                                             (cband_ref, s_c),
@@ -124,10 +134,18 @@ def scan_pass_b_pallas(raw, cband, eband, cand_mask, allowed, plan, p_list,
             _, _, outs = scan_ops._scan_core(
                 s_raw[:], s_c[:], s_e[:], cand, plan, p_list, thr,
                 allowed_vec, True, shift_fn=_shift2_roll)
+            # outputs live in HBM (keeping full results out of scoped VMEM);
+            # write each block via DMA from a small staging buffer
             for pi, p in enumerate(p_list):
                 for t in range(4):
-                    out_refs[pi * 4 + t][:, :] = \
-                        outs[p][t][Mr:Mr + R, Mc:Mc + T]
+                    s_out[:, :] = outs[p][t][Mr:Mr + R, Mc:Mc + T]
+                    dma = pltpu.make_async_copy(
+                        s_out,
+                        out_refs[pi * 4 + t].at[pl.ds(i * R, R),
+                                                pl.ds(j * T, T)],
+                        out_sem)
+                    dma.start()
+                    dma.wait()
 
         pl.run_scoped(
             body,
@@ -135,19 +153,22 @@ def scan_pass_b_pallas(raw, cband, eband, cand_mask, allowed, plan, p_list,
             s_c=pltpu.VMEM(slab_shape, dtype),
             s_e=pltpu.VMEM(slab_shape, dtype),
             s_cand=pltpu.VMEM(slab_shape, dtype),
+            s_out=pltpu.VMEM((R, T), dtype),
             sems=pltpu.SemaphoreType.DMA((4,)),
+            out_sem=pltpu.SemaphoreType.DMA(()),
         )
 
-    out_shapes = [jax.ShapeDtypeStruct((num_pad, col_pad), dtype)
+    # tag outputs with an explicit HBM memory space: without it XLA's
+    # memory assignment may place the whole result tuple in scoped VMEM
+    out_shapes = [pltpu.HBM((num_pad, col_pad), dtype)
                   for _ in range(4 * n_p)]
-    out_specs = [pl.BlockSpec((R, T), lambda i, j, *_: (i, j),
-                              memory_space=pltpu.VMEM)
+    out_specs = [pl.BlockSpec(memory_space=pltpu.HBM)
                  for _ in range(4 * n_p)]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 4,
         out_specs=out_specs,
     )
 
