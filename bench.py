@@ -175,8 +175,9 @@ def main():
         'value': round(pixels_per_s, 1),
         'unit': 'pixels/s',
         'vs_baseline': round(pixels_per_s / baseline, 2),
-    }))
-    return 0
+    }), flush=True)
+    # skip interpreter teardown: the tunneled TPU runtime can hang at exit
+    os._exit(0)
 
 
 if __name__ == '__main__':

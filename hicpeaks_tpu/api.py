@@ -61,7 +61,7 @@ def _selected_chroms(clr: CoolerLite, chroms):
 
 
 def _run(kind, cooler_uri, cfg, chroms, mesh, scan_backend, checkpoint_dir,
-         dtype, profile_dir):
+         dtype, profile_dir, shape_bucket=4096):
     clr = CoolerLite(cooler_uri)
     results = {}
     ww_min = cfg.ww_min
@@ -83,7 +83,8 @@ def _run(kind, cooler_uri, cfg, chroms, mesh, scan_backend, checkpoint_dir,
             t0 = time.perf_counter()
             bands = bands_from_cooler(clr, key, cfg.maxapart, cfg.maxww,
                                       ww_min, dtype=dtype,
-                                      weight_name=cfg.clr_weight_name)
+                                      weight_name=cfg.clr_weight_name,
+                                      lane_pad=shape_bucket)
             n_cand = int((bands.raw != 0).sum())
             table = caller(bands, cfg, mesh=mesh, scan_backend=scan_backend)
             dt = time.perf_counter() - t0

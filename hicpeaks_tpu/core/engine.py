@@ -46,40 +46,55 @@ import functools
 import jax
 
 
-@functools.partial(jax.jit, static_argnames=('wi', 'L', 'chunked'))
+@functools.partial(jax.jit, static_argnames=('wi', 'L', 'chunked', 'with_bh'))
 def _score_device(raw, cband, IR, Bprod, bSV, bEV, cand, gap_drop, sig,
-                  wi, L, chunked):
+                  wi, L, chunked, with_bh=True):
     """Jitted device half of background scoring (single compile per
-    shape/config; no eager dispatch)."""
+    shape/config; no eager dispatch).  ``with_bh=False`` leaves the
+    Benjamini-Hochberg correction to the host (ops/score.host_bh) —
+    the TPU sort/scan primitives carry size-dependent compile costs."""
     E, O, ICE, Fold, scored, prod = score_ops.expected_observed(
         raw, cband, IR, Bprod, bSV, bEV, wi, cand, L)
     if chunked:
         cid, rv, valid = score_ops.lambda_chunks(E, scored)
         pval = jnp.where(valid, score_ops.poisson_sf(O, rv), 1.0)
-        qval = score_ops.segmented_bh(pval, cid, valid)
     else:
+        cid = jnp.ones(E.shape, jnp.int32)
+        valid = scored
         pval = jnp.where(scored, score_ops.poisson_sf(O, E), 1.0)
-        qval = score_ops.segmented_bh(
-            pval, jnp.ones(E.shape, jnp.int32), scored)
-    reject = scored & (qval <= sig)
-    keep = reject & ~gap_drop
-    return pval, qval, keep, O, ICE, Fold, prod
+    if with_bh:
+        qval = score_ops.segmented_bh(pval, cid, valid)
+        reject = scored & (qval <= sig)
+        keep = reject & ~gap_drop
+    else:
+        qval = None
+        keep = None
+    return pval, cid, valid, qval, keep, scored, O, ICE, Fold, prod
 
 
 def _score_one(raw, cband, IR, Bprod, bSV, bEV, wi, cand, L, sig, gap_drop,
-               chunked: bool):
+               chunked: bool, bh_backend='auto'):
     """Poisson scoring of one background; returns host-side kept-pixel
     arrays (x, y, O, ICE, Fold, p, q) plus the dense EM*ratio product."""
-    pval, qval, keep, O, ICE, Fold, prod = _score_device(
+    if bh_backend == 'auto':
+        bh_backend = 'host' if jax.default_backend() == 'tpu' else 'device'
+    with_bh = bh_backend == 'device'
+    pval, cid, valid, qval, keep, scored, O, ICE, Fold, prod = _score_device(
         raw, cband, IR, Bprod, bSV, bEV, cand, gap_drop, sig,
-        wi=int(wi), L=int(L), chunked=chunked)
+        wi=int(wi), L=int(L), chunked=chunked, with_bh=with_bh)
+    if with_bh:
+        keep_np = np.asarray(keep)
+        qval_np = np.asarray(qval)
+    else:
+        qval_np = score_ops.host_bh(pval, cid, valid)
+        reject = np.asarray(scored) & (qval_np <= sig)
+        keep_np = reject & ~np.asarray(gap_drop)
 
-    keep_np = np.asarray(keep)
     d_idx, x_idx = np.nonzero(keep_np)
     y_idx = x_idx + d_idx
     take = lambda a: np.asarray(a)[d_idx, x_idx]
     return dict(x=x_idx, y=y_idx, O=take(O), ICE=take(ICE), Fold=take(Fold),
-                p=take(pval), q=take(qval), prod=prod)
+                p=take(pval), q=qval_np[d_idx, x_idx], prod=prod)
 
 
 def _capture_pass(raw, cband, eband, cand, allowed, plan, p_list, thr, mesh,
@@ -108,7 +123,7 @@ def _capture_pass(raw, cband, eband, cand, allowed, plan, p_list, thr, mesh,
 
 
 def bhfdr_chrom(bands: ChromBands, cfg: BHFDRConfig, mesh=None,
-                scan_backend='auto'):
+                scan_backend='auto', bh_backend='auto'):
     """Donut-only caller (reference callers.py:364-590).  Returns
     {(x_bp, y_bp): (cen_x_bp, cen_y_bp, radius_bp, O, Fold, p, q)}.
     With ``mesh`` the scan shards band tiles across devices with halo
@@ -138,7 +153,8 @@ def bhfdr_chrom(bands: ChromBands, cfg: BHFDRConfig, mesh=None,
     gap_drop = jnp.asarray(score_ops.gap_reject_host(gap, num_p, L, cfg.ww))
     Bprod = jnp.asarray(score_ops.bias_product_host(bands.bias, num_p))
     r = _score_one(raw, cband, IR, Bprod, KS, KE, cfg.ww, cand, L,
-                   cfg.siglevel, gap_drop, chunked=False)
+                   cfg.siglevel, gap_drop, chunked=False,
+                   bh_backend=bh_backend)
 
     Donuts = {(int(x), int(y)): (float(o), float(f), float(p), float(q))
               for x, y, o, f, p, q in zip(r['x'], r['y'], r['O'], r['Fold'],
@@ -156,7 +172,7 @@ def bhfdr_chrom(bands: ChromBands, cfg: BHFDRConfig, mesh=None,
 
 
 def hiccups_chrom(bands: ChromBands, cfg: HiccupsConfig, mesh=None,
-                  scan_backend='auto'):
+                  scan_backend='auto', bh_backend='auto'):
     """Two-background multi-parameter caller (reference callers.py:44-362).
     Returns {(x_bp, y_bp): (cen_x, cen_y, radius, O, FoldK, pK, qK,
     FoldY, pY, qY)} in bp.  With ``mesh`` the scan shards band tiles
@@ -194,9 +210,11 @@ def hiccups_chrom(bands: ChromBands, cfg: HiccupsConfig, mesh=None,
     for pi, wi in zip(pw, ww):
         KS, KE, YS, YE = outs[pi]
         rK = _score_one(raw, cband, IR, Bprod, KS, KE, wi, cand, L,
-                        cfg.siglevel, gap_drop, chunked=True)
+                        cfg.siglevel, gap_drop, chunked=True,
+                        bh_backend=bh_backend)
         rY = _score_one(raw, cband, IR, Bprod, YS, YE, wi, cand, L,
-                        cfg.siglevel, gap_drop, chunked=True)
+                        cfg.siglevel, gap_drop, chunked=True,
+                        bh_backend=bh_backend)
 
         first = rK['O'] if cfg.use_raw else rK['ICE']
         preDonuts = {(int(x), int(y)): (fi, o, f, p, q)

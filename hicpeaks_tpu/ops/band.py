@@ -86,9 +86,11 @@ def build_bands(bin1, bin2, count, weights, L, num, ww_min, res, chrom='',
 
 
 def bands_from_cooler(clr, chrom, maxapart, maxww, ww_min, dtype=np.float32,
-                      weight_name='weight') -> ChromBands:
+                      weight_name='weight', lane_pad=128) -> ChromBands:
     """One-stop chromosome loader mirroring the reference worker's prep
-    (scripts/pyHICCUPS:139-168): num = maxapart//res + maxww + 1."""
+    (scripts/pyHICCUPS:139-168): num = maxapart//res + maxww + 1.
+    ``lane_pad`` buckets the padded width (e.g. 4096) so chromosomes of
+    similar size share compiled programs."""
     res = clr.binsize
     lo, hi = clr.bin_range(chrom)
     L = hi - lo
@@ -96,4 +98,5 @@ def bands_from_cooler(clr, chrom, maxapart, maxww, ww_min, dtype=np.float32,
     b1, b2, ct = clr.pixels_for_chrom(chrom)
     w = clr.weights(chrom, weight_name)
     return build_bands(b1, b2, ct, w, L, num, ww_min, res,
-                       chrom=chrom.lstrip('chr'), dtype=dtype)
+                       chrom=chrom.lstrip('chr'), dtype=dtype,
+                       lane_pad=lane_pad)

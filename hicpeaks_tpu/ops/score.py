@@ -129,6 +129,39 @@ def segmented_bh(pvals, seg, valid):
     return out.reshape(shape)
 
 
+def host_bh(pvals, cids, valid):
+    """Per-chunk Benjamini-Hochberg on the host (numpy): exact statsmodels
+    fdr_bh semantics, no device sort.  TPU sort/scan primitives have
+    size-dependent compile cost (minutes at chromosome scale), and every
+    chromosome is a new shape — the host path trades a device->host fetch
+    for zero compile time.  Returns a dense q array (1 where invalid)."""
+    import numpy as np
+    p = np.asarray(pvals, np.float64)
+    c = np.asarray(cids)
+    v = np.asarray(valid)
+    q = np.ones_like(p)
+    flat_idx = np.nonzero(v.ravel())[0]
+    if flat_idx.size == 0:
+        return q
+    pv = p.ravel()[flat_idx]
+    cv = c.ravel()[flat_idx]
+    order = np.lexsort((pv, cv))
+    pv_s = pv[order]
+    cv_s = cv[order]
+    qs = np.empty_like(pv_s)
+    boundaries = np.nonzero(np.diff(cv_s))[0] + 1
+    starts = np.concatenate([[0], boundaries])
+    ends = np.concatenate([boundaries, [cv_s.size]])
+    for s, e in zip(starts, ends):
+        m = e - s
+        raw = pv_s[s:e] * m / np.arange(1, m + 1)
+        qs[s:e] = np.minimum(1.0, np.minimum.accumulate(raw[::-1])[::-1])
+    out_sorted = np.empty_like(qs)
+    out_sorted[order] = qs
+    q.ravel()[flat_idx] = out_sorted
+    return q
+
+
 def gap_vector(cband):
     """Gap bins: zero row-sum of the upper-band balanced matrix
     (callers.py:238/557 uses cM.sum(axis=1) of the diagonal-band matrix)."""
