@@ -1,0 +1,66 @@
+"""BH implementations: device segmented_bh (two-level scans, ordinal
+offsets) and host_bh, both against the statsmodels-equivalent oracle."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hicpeaks_tpu.ops.score import segmented_bh, host_bh
+
+from .oracle.multitest import fdr_bh
+
+
+def _reference_segmented(p, seg, valid):
+    q = np.ones_like(p)
+    for s in np.unique(seg[valid]):
+        m = valid & (seg == s)
+        q[m] = fdr_bh(p[m])[1]
+    return q
+
+
+@pytest.mark.parametrize('n,nseg,seed', [(257, 1, 0), (5000, 7, 1),
+                                         (20000, 40, 2), (100000, 60, 3)])
+def test_segmented_bh_matches_reference(n, nseg, seed):
+    rng = np.random.default_rng(seed)
+    p = rng.random(n) ** 3
+    seg = rng.integers(1, nseg + 1, n)
+    valid = rng.random(n) < 0.8
+    want = _reference_segmented(p, seg, valid)
+
+    got = np.asarray(segmented_bh(jnp.asarray(p), jnp.asarray(seg),
+                                  jnp.asarray(valid)))
+    np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
+
+    got_host = host_bh(p, seg, valid)
+    np.testing.assert_allclose(got_host, want, rtol=1e-12)
+
+
+def test_segmented_bh_ties_and_empty():
+    p = np.array([0.5, 0.5, 0.5, 0.1, 0.1, 1.0])
+    seg = np.array([1, 1, 1, 2, 2, 2])
+    valid = np.ones(6, bool)
+    want = _reference_segmented(p, seg, valid)
+    got = np.asarray(segmented_bh(jnp.asarray(p), jnp.asarray(seg),
+                                  jnp.asarray(valid)))
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+
+    # all-invalid input
+    got = np.asarray(segmented_bh(jnp.asarray(p), jnp.asarray(seg),
+                                  jnp.zeros(6, bool)))
+    np.testing.assert_array_equal(got, np.ones(6))
+    np.testing.assert_array_equal(host_bh(p, seg, np.zeros(6, bool)),
+                                  np.ones(6))
+
+
+def test_two_level_scan_crosses_row_boundaries():
+    """Force the two-level path (> _SCAN_ROW elements) with segments that
+    straddle row boundaries."""
+    from hicpeaks_tpu.ops import score as so
+    n = so._SCAN_ROW * 3 + 17
+    rng = np.random.default_rng(5)
+    p = rng.random(n)
+    seg = np.sort(rng.integers(1, 5, n))   # long runs crossing rows
+    valid = np.ones(n, bool)
+    want = _reference_segmented(p, seg, valid)
+    got = np.asarray(segmented_bh(jnp.asarray(p), jnp.asarray(seg),
+                                  jnp.asarray(valid)))
+    np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
