@@ -24,3 +24,16 @@ Architecture (TPU-first, not a port):
 __author__ = 'hicpeaks-tpu developers'
 __version__ = '0.1.0'
 __license__ = 'GPLv3+'
+
+def __getattr__(name):
+    """Lazy public API: hicpeaks_tpu.call_hiccups / call_bhfdr / balance."""
+    if name in ('call_hiccups', 'call_bhfdr'):
+        from . import api
+        return getattr(api, name)
+    if name == 'balance':
+        from .ops.ice import balance
+        return balance
+    if name == 'CoolerLite':
+        from .io.coolerlite import CoolerLite
+        return CoolerLite
+    raise AttributeError(name)

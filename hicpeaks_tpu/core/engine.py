@@ -112,6 +112,22 @@ def _capture_pass(raw, cband, eband, cand, allowed, plan, p_list, thr, mesh,
         return outs
     if scan_backend == 'auto':
         scan_backend = 'pallas' if jax.default_backend() == 'tpu' else 'jnp'
+    if scan_backend == 'validate':
+        # integrity mode: run both backends and cross-check (the SPMD
+        # determinism answer to the reference's absent sanitizers)
+        import numpy as np
+        from ..ops.pallas_scan import scan_pass_b_pallas
+        a = scan_pass_b_pallas(raw, cband, eband, cand, allowed, plan,
+                               p_list, thr,
+                               interpret=jax.default_backend() != 'tpu')
+        _, _, b = scan_ops.scan_pass_b(raw, cband, eband, cand, allowed,
+                                       plan, p_list, thr)
+        for p in p_list:
+            for t in range(4):
+                np.testing.assert_allclose(np.asarray(a[p][t]),
+                                           np.asarray(b[p][t]), rtol=1e-5,
+                                           err_msg=f'backend mismatch p={p}')
+        return a
     if scan_backend in ('pallas', 'pallas-interpret'):
         from ..ops.pallas_scan import scan_pass_b_pallas
         return scan_pass_b_pallas(raw, cband, eband, cand, allowed, plan,
