@@ -14,7 +14,7 @@ import logging
 import sys
 
 from .. import __version__
-from .common import setup_logging, echo_arguments, chrom_selected
+from .common import setup_logging, echo_arguments
 
 
 def _common_data_args(parser):

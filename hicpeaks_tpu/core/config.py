@@ -12,7 +12,7 @@ maxapart 2e6) with function-default min_marginal_peaks=3/onlyanchor=False
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Tuple
 
 

@@ -13,7 +13,6 @@ import jax.numpy as jnp
 
 from ..ops import scan as scan_ops
 from ..ops import score as score_ops
-from . import poolplan
 
 
 @functools.partial(jax.jit,

@@ -27,7 +27,7 @@ the model against the oracle's literal branch replay.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Tuple
 
 

@@ -143,8 +143,6 @@ def balance(clr, nproc=1, chunksize=int(1e7), mad_max=5, min_nnz=10,
     mirroring the reference ``balance()`` entry point (utilities.py:367-431).
     ``nproc``/``chunksize`` are accepted for CLI compatibility; the device
     path needs neither."""
-    from ..ops.band import build_bands
-
     res = clr.binsize
     weights = []
     stats = {'tol': tol, 'min_nnz': min_nnz, 'min_count': min_count,
