@@ -148,13 +148,18 @@ def balance(clr, nproc=1, chunksize=int(1e7), mad_max=5, min_nnz=10,
     stats = {'tol': tol, 'min_nnz': min_nnz, 'min_count': min_count,
              'mad_max': mad_max, 'cis_only': True, 'ignore_diags': ignore_diags,
              'converged': True}
+    # float32 on TPU (f64 is unsupported there; the convergence test is on
+    # a variance, whose f32 noise floor ~1e-10 sits far below tol), float64
+    # on CPU for exact parity with the reference's double-precision ICE
+    import jax
+    dtype = np.float32 if jax.default_backend() == 'tpu' else np.float64
     for chrom in clr.chromnames:
         lo, hi = clr.bin_range(chrom)
         L = hi - lo
         b1, b2, ct = clr.pixels_for_chrom(chrom)
         num = L  # full triangle: balancing uses every diagonal
         raw = np.zeros((max(1, (num + 7) // 8 * 8),
-                        max(1, (L + 127) // 128 * 128)), np.float64)
+                        max(1, (L + 127) // 128 * 128)), dtype)
         dd = (b2 - b1)
         raw[dd, b1] = ct
         result = ice_balance_chrom(raw, L, ignore_diags=ignore_diags,
