@@ -45,6 +45,10 @@ def _install_watchdog(seconds=1500):
 
     signal.signal(signal.SIGALRM, on_alarm)
     signal.alarm(seconds)
+    # SIGALRM handlers only run between bytecodes; if the main thread is
+    # wedged inside a C call (remote compile), a timer thread backstops it
+    import threading
+    threading.Timer(seconds + 60, lambda: on_alarm(None, None)).start()
 
 
 def main():

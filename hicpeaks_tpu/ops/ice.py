@@ -24,23 +24,39 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _sliding_rows(v, R, C):
+    """W[d, x] = v[d + x] for a 1-D ``v`` (sliding windows) built from
+    tile+pad+reshape only — XLA-friendly, no gather (TPU gathers have
+    pathological compile times at these shapes)."""
+    n = v.shape[0]
+    flat = jnp.tile(v, R)
+    flat = jnp.concatenate([flat, jnp.zeros(R, v.dtype)])
+    W = flat[:R * (n + 1)].reshape(R, n + 1)
+    return W[:, :C]
+
+
+def _shear_right(A):
+    """B[d, y] = A[d, y - d] (rows right-shifted by their index, zero fill)
+    via the pad+reshape skew trick; output width = A's width."""
+    R, C = A.shape
+    A2 = jnp.concatenate([A, jnp.zeros((R, R), A.dtype)], axis=1)
+    flat = A2.reshape(-1)
+    W = flat[:R * (C + R - 1)].reshape(R, C + R - 1)
+    return W[:, :C]
+
+
 def _sym_marginal(band, b, L):
     """Marginal of the bias-scaled symmetric matrix from its upper band:
     m[x] = sum_j S[x, j] b[x] b[j] / b[x] ... concretely the row+column
     contributions of every stored pixel (diagonal counted once)."""
     num_p, Lp = band.shape
-    d = jnp.arange(num_p)[:, None]
-    x = jnp.arange(Lp)[None, :]
-    # value[d, x] scaled by both end biases
-    By = b[jnp.minimum(x + d, Lp - 1)]
+    bpad = jnp.concatenate([b, jnp.zeros(num_p, b.dtype)])
+    By = _sliding_rows(bpad, num_p, Lp)                # By[d, x] = b[x + d]
     scaled = band * b[None, :] * By
     rowpart = jnp.sum(scaled, axis=0)                  # contribution to bin x
     # contribution to bin y = x + d  (exclude d=0: already in rowpart)
-    src = jnp.where(d > 0, scaled, 0.0)
-    xm = jnp.maximum(x - d, 0)
-    shifted = jnp.take_along_axis(src, xm, axis=1)
-    valid = (x - d) >= 0
-    colpart = jnp.sum(jnp.where(valid, shifted, 0.0), axis=0)
+    src = scaled.at[0, :].set(0.0)
+    colpart = jnp.sum(_shear_right(src), axis=0)
     return rowpart + colpart
 
 
@@ -70,11 +86,7 @@ def _ice_device(band, L, ignore_diags, min_nnz, min_count, mad_max,
     # --- bin filters (cooler's _init/_filters equivalents) ---
     nz = (band != 0).astype(band.dtype)
     nnz_row = jnp.sum(nz, axis=0)
-    src = jnp.where(d > 0, nz, 0.0)
-    xm = jnp.maximum(x - d, 0)
-    nnz_col = jnp.sum(jnp.where((x - d) >= 0,
-                                jnp.take_along_axis(src, xm, axis=1), 0.0),
-                      axis=0)
+    nnz_col = jnp.sum(_shear_right(nz.at[0, :].set(0.0)), axis=0)
     nnz = nnz_row + nnz_col
     marg0 = _sym_marginal(band, ones, L)
 
