@@ -106,6 +106,8 @@ def hiccups_main(argv=None):
         min_local_reads=args.min_local_reads, only_anchors=args.only_anchors,
         clr_weight_name=args.clr_weight_name)
 
+    from ..parallel.launch import maybe_initialize_distributed
+    maybe_initialize_distributed()
     mesh = None
     if args.mesh_devices:
         from ..parallel.mesh import make_tile_mesh
@@ -173,6 +175,8 @@ def bhfdr_main(argv=None):
     cfg = BHFDRConfig(pw=args.pw, ww=args.ww, maxww=args.maxww,
                       siglevel=args.siglevel, maxapart=args.maxapart,
                       clr_weight_name=args.clr_weight_name)
+    from ..parallel.launch import maybe_initialize_distributed
+    maybe_initialize_distributed()
     mesh = None
     if args.mesh_devices:
         from ..parallel.mesh import make_tile_mesh
