@@ -81,3 +81,16 @@ def test_hiccups_engine_matches_oracle(synth, pw, ww, maxww):
     got = engine.hiccups_chrom(bands, cfg)
     assert len(want) > 0
     _assert_tables_match(got, want, slice(3, None))
+
+
+def test_shape_bucketing_invariant(synth):
+    """Padding the band width to a shared bucket (api's compile-sharing
+    trick) must not change results."""
+    clr, _ = synth
+    cfg = BHFDRConfig(pw=1, ww=3, maxww=8, maxapart=2000000)
+    a = engine.bhfdr_chrom(bands_from_cooler(
+        clr, '21', cfg.maxapart, cfg.maxww, cfg.ww, dtype=np.float64), cfg)
+    b = engine.bhfdr_chrom(bands_from_cooler(
+        clr, '21', cfg.maxapart, cfg.maxww, cfg.ww, dtype=np.float64,
+        lane_pad=4096), cfg)
+    assert a == b
