@@ -94,3 +94,47 @@ def test_shape_bucketing_invariant(synth):
         clr, '21', cfg.maxapart, cfg.maxww, cfg.ww, dtype=np.float64,
         lane_pad=4096), cfg)
     assert a == b
+
+
+def test_bhfdr_parity_shallow_data_truncation(tmp_path_factory):
+    """Shallow coverage forces the freeze early-stops (Valid_Ratio < 0.3
+    break, callers.py:505-511) — the truncation replay must match the
+    oracle exactly."""
+    path = tmp_path_factory.mktemp('data') / 'shallow.cool'
+    uri, _ = synthetic_cooler(str(path), n_bins=380, res=25000, seed=17,
+                              n_loops=15, depth=12.0)
+    clr = CoolerLite(uri)
+    cfg = BHFDRConfig(pw=1, ww=3, maxww=10, maxapart=2000000)
+    d = prepare_chrom(clr, '21', cfg.maxapart, cfg.maxww, cfg.ww)
+    want = oracle.bhfdr(d['Md'], d['cMd'], d['B'], d['B'], d['IR'],
+                        d['chromLen'], d['num'], pw=cfg.pw, ww=cfg.ww,
+                        sig=cfg.siglevel, maxww=cfg.maxww,
+                        maxapart=cfg.maxapart, res=clr.binsize)
+    bands = bands_from_cooler(clr, '21', cfg.maxapart, cfg.maxww, cfg.ww,
+                              dtype=np.float64)
+    got = engine.bhfdr_chrom(bands, cfg)
+    _assert_tables_match(got, want, slice(3, None))
+
+
+def test_hiccups_parity_shallow_data_frozen_w(tmp_path_factory):
+    """Shallow coverage with w >= max(ww) triggers the hiccups frozen_w
+    assignment (callers.py:223-229); multi-p truncation must match."""
+    path = tmp_path_factory.mktemp('data') / 'shallow2.cool'
+    uri, _ = synthetic_cooler(str(path), n_bins=380, res=25000, seed=19,
+                              n_loops=15, depth=15.0)
+    clr = CoolerLite(uri)
+    cfg = HiccupsConfig(pw=(1, 2), ww=(3, 5), maxww=9, maxapart=2000000,
+                        min_marginal_peaks=2, min_local_reads=16)
+    d = prepare_chrom(clr, '21', cfg.maxapart, cfg.maxww, 3)
+    want = oracle.hiccups(d['Md'], d['cMd'], d['B'], d['B'], d['IR'],
+                          d['chromLen'], d['num'], pw=[1, 2], ww=[3, 5],
+                          maxww=9, sig=cfg.siglevel, sumq=cfg.sumq,
+                          double_fold=cfg.double_fold,
+                          single_fold=cfg.single_fold,
+                          maxapart=cfg.maxapart, res=clr.binsize,
+                          min_marginal_peaks=2, onlyanchor=False,
+                          min_local_reads=16)
+    bands = bands_from_cooler(clr, '21', cfg.maxapart, cfg.maxww, 3,
+                              dtype=np.float64)
+    got = engine.hiccups_chrom(bands, cfg)
+    _assert_tables_match(got, want, slice(3, None))
