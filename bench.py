@@ -152,23 +152,16 @@ def main():
                                          plan, p_list, 16)[2]
         KS, KE, YS, YE = outs2[pw[0]]
         acc = counts.sum().astype(jnp.float32)
-        # both backgrounds stacked into ONE segmented-BH call: the second
-        # background's chunk ids are offset so segments stay disjoint
-        pvs, cids, valids, scoreds = [], [], [], []
-        for k, (bSV, bEV) in enumerate(((KS, KE), (YS, YE))):
+        n_keep = jnp.int32(0)
+        for bSV, bEV in ((KS, KE), (YS, YE)):
             E, O, ICE, Fold, scored, prod = score_ops.expected_observed(
                 raw_i, cband, IR, Bprod, bSV, bEV, ww[0], cand, bands.L)
             cid, rv, valid = score_ops.lambda_chunks(E, scored)
             pval = jnp.where(valid, score_ops.poisson_sf(O, rv), 1.0)
-            pvs.append(pval)
-            cids.append(cid + k * (1 << 20))
-            valids.append(valid)
-            scoreds.append(scored)
-        qval2 = score_ops.segmented_bh(jnp.stack(pvs), jnp.stack(cids),
-                                       jnp.stack(valids))
-        keep2 = jnp.stack(scoreds) & (qval2 <= 0.05) & ~gap_drop[None]
-        n_keep = keep2.sum().astype(jnp.int32)
-        acc = acc + qval2.sum().astype(jnp.float32)
+            qval = score_ops.segmented_bh(pval, cid, valid)
+            keep = scored & (qval <= 0.05) & ~gap_drop
+            n_keep = n_keep + keep.sum().astype(jnp.int32)
+            acc = acc + qval.sum().astype(jnp.float32)
         return acc * 0.0, n_keep
 
     args = (raw, cband, eband, IR, Bprod, cand, gap_drop, allowed)
