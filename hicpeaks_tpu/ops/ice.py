@@ -133,10 +133,15 @@ def _ice_device(band, L, ignore_diags, min_nnz, min_count, mad_max,
 
 
 def ice_balance_chrom(raw_band, L, ignore_diags=1, mad_max=5, min_nnz=10,
-                      min_count=0, tol=1e-5, max_iters=200) -> IceResult:
+                      min_count=0, tol=1e-5, max_iters=200,
+                      device=None) -> IceResult:
     """Balance one chromosome band; returns cooler-convention weights
-    (NaN at filtered bins) of length L."""
-    band = jnp.asarray(raw_band)
+    (NaN at filtered bins) of length L.  ``device`` pins the computation
+    (e.g. a CPU device for ingestion-time balancing)."""
+    if device is not None:
+        band = jax.device_put(np.asarray(raw_band), device)
+    else:
+        band = jnp.asarray(raw_band)
     b, mask, var, it, scale = _ice_device(band, L, ignore_diags, min_nnz,
                                           min_count, mad_max, tol, max_iters)
     b = np.asarray(b, np.float64)[:L]
@@ -160,11 +165,17 @@ def balance(clr, nproc=1, chunksize=int(1e7), mad_max=5, min_nnz=10,
     stats = {'tol': tol, 'min_nnz': min_nnz, 'min_count': min_count,
              'mad_max': mad_max, 'cis_only': True, 'ignore_diags': ignore_diags,
              'converged': True}
-    # float32 on TPU (f64 is unsupported there; the convergence test is on
-    # a variance, whose f32 noise floor ~1e-10 sits far below tol), float64
-    # on CPU for exact parity with the reference's double-precision ICE
+    # Balancing is ingestion-time work; it runs on the host CPU backend by
+    # default (float64, exact parity with the reference's double-precision
+    # ICE) — remote-TPU tunnels proved unreliable for this program class
+    # and the peak callers are the latency-critical path, not toCooler.
     import jax
-    dtype = np.float32 if jax.default_backend() == 'tpu' else np.float64
+    try:
+        device = jax.devices('cpu')[0]
+        dtype = np.float64
+    except RuntimeError:
+        device = None
+        dtype = np.float32
     for chrom in clr.chromnames:
         lo, hi = clr.bin_range(chrom)
         L = hi - lo
@@ -177,7 +188,7 @@ def balance(clr, nproc=1, chunksize=int(1e7), mad_max=5, min_nnz=10,
         result = ice_balance_chrom(raw, L, ignore_diags=ignore_diags,
                                    mad_max=mad_max, min_nnz=min_nnz,
                                    min_count=min_count, tol=tol,
-                                   max_iters=max_iters)
+                                   max_iters=max_iters, device=device)
         stats['converged'] = bool(stats['converged'] and result.converged)
         weights.append(result.bias)
     clr.write_weights(np.concatenate(weights), stats, name=weight_name)
