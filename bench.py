@@ -99,6 +99,7 @@ def main():
     cand_np = (bands.raw != 0) & (drow >= min(ww)) & \
         (drow <= maxapart // res)
     n_cand = int(cand_np.sum())
+    o_cap = max(256, int(-(-int(bands.raw.max()) // 128) * 128))
 
     # transfers only — zero eager device compute before the first jit
     raw = jnp.asarray(bands.raw)
@@ -158,7 +159,8 @@ def main():
                 raw_i, cband, IR, Bprod, bSV, bEV, ww[0], cand, bands.L)
             cid, rv, valid = score_ops.lambda_chunks(E, scored)
             pval = jnp.where(valid, score_ops.poisson_sf(O, rv), 1.0)
-            qval = score_ops.segmented_bh(pval, cid, valid)
+            # sort-free lambda-chunk histogram BH (the production path)
+            qval = score_ops.chunk_bh_histogram(O, cid, valid, o_cap=o_cap)
             keep = scored & (qval <= 0.05) & ~gap_drop
             n_keep = n_keep + keep.sum().astype(jnp.int32)
             acc = acc + qval.sum().astype(jnp.float32)

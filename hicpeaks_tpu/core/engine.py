@@ -46,13 +46,15 @@ import functools
 import jax
 
 
-@functools.partial(jax.jit, static_argnames=('wi', 'L', 'chunked', 'with_bh'))
+@functools.partial(jax.jit, static_argnames=('wi', 'L', 'chunked', 'with_bh',
+                                             'o_cap'))
 def _score_device(raw, cband, IR, Bprod, bSV, bEV, cand, gap_drop, sig,
-                  wi, L, chunked, with_bh=True):
+                  wi, L, chunked, with_bh=True, o_cap=None):
     """Jitted device half of background scoring (single compile per
     shape/config; no eager dispatch).  ``with_bh=False`` leaves the
-    Benjamini-Hochberg correction to the host (ops/score.host_bh) —
-    the TPU sort/scan primitives carry size-dependent compile costs."""
+    Benjamini-Hochberg correction to the host (ops/score.host_bh).
+    For the chunked path, ``o_cap`` (>= the chromosome's max raw count)
+    switches BH to the sort-free lambda-chunk histogram."""
     E, O, ICE, Fold, scored, prod = score_ops.expected_observed(
         raw, cband, IR, Bprod, bSV, bEV, wi, cand, L)
     if chunked:
@@ -63,7 +65,10 @@ def _score_device(raw, cband, IR, Bprod, bSV, bEV, cand, gap_drop, sig,
         valid = scored
         pval = jnp.where(scored, score_ops.poisson_sf(O, E), 1.0)
     if with_bh:
-        qval = score_ops.segmented_bh(pval, cid, valid)
+        if chunked and o_cap is not None:
+            qval = score_ops.chunk_bh_histogram(O, cid, valid, o_cap=o_cap)
+        else:
+            qval = score_ops.segmented_bh(pval, cid, valid)
         reject = scored & (qval <= sig)
         keep = reject & ~gap_drop
     else:
@@ -73,15 +78,22 @@ def _score_device(raw, cband, IR, Bprod, bSV, bEV, cand, gap_drop, sig,
 
 
 def _score_one(raw, cband, IR, Bprod, bSV, bEV, wi, cand, L, sig, gap_drop,
-               chunked: bool, bh_backend='auto'):
+               chunked: bool, bh_backend='auto', max_count=None):
     """Poisson scoring of one background; returns host-side kept-pixel
     arrays (x, y, O, ICE, Fold, p, q) plus the dense EM*ratio product."""
     if bh_backend == 'auto':
-        bh_backend = 'host' if jax.default_backend() == 'tpu' else 'device'
+        if chunked and max_count is not None and max_count <= (1 << 17):
+            # sort-free histogram BH: exact and compile-cheap on any backend
+            bh_backend = 'device'
+        else:
+            bh_backend = 'host' if jax.default_backend() == 'tpu' else 'device'
+    o_cap = None
+    if chunked and bh_backend == 'device' and max_count is not None and             max_count <= (1 << 17):
+        o_cap = max(256, int(-(-int(max_count) // 128) * 128))
     with_bh = bh_backend == 'device'
     pval, cid, valid, qval, keep, scored, O, ICE, Fold, prod = _score_device(
         raw, cband, IR, Bprod, bSV, bEV, cand, gap_drop, sig,
-        wi=int(wi), L=int(L), chunked=chunked, with_bh=with_bh)
+        wi=int(wi), L=int(L), chunked=chunked, with_bh=with_bh, o_cap=o_cap)
     if with_bh:
         keep_np = np.asarray(keep)
         qval_np = np.asarray(qval)
@@ -221,16 +233,17 @@ def hiccups_chrom(bands: ChromBands, cfg: HiccupsConfig, mesh=None,
     gap = bands.cband.sum(axis=0) == 0
     gap_drop = jnp.asarray(score_ops.gap_reject_host(gap, num_p, L, min(ww)))
     Bprod = jnp.asarray(score_ops.bias_product_host(bands.bias, num_p))
+    max_count = float(bands.raw.max())
 
     pixel_table = {}
     for pi, wi in zip(pw, ww):
         KS, KE, YS, YE = outs[pi]
         rK = _score_one(raw, cband, IR, Bprod, KS, KE, wi, cand, L,
                         cfg.siglevel, gap_drop, chunked=True,
-                        bh_backend=bh_backend)
+                        bh_backend=bh_backend, max_count=max_count)
         rY = _score_one(raw, cband, IR, Bprod, YS, YE, wi, cand, L,
                         cfg.siglevel, gap_drop, chunked=True,
-                        bh_backend=bh_backend)
+                        bh_backend=bh_backend, max_count=max_count)
 
         first = rK['O'] if cfg.use_raw else rK['ICE']
         preDonuts = {(int(x), int(y)): (fi, o, f, p, q)

@@ -181,6 +181,92 @@ def segmented_bh(pvals, seg, valid):
     return out.reshape(shape)
 
 
+def chunk_bh_histogram(O, cid, valid, n_chunks=128, o_cap=32768):
+    """Sort-free Benjamini-Hochberg for the lambda-chunked path — the
+    north-star 'on-device lambda-chunk histogramming'.
+
+    Within a chunk every pixel's p-value is ``sf(floor(O); right_edge)``,
+    a function of the integer part of the raw count alone, so p-values are
+    massively tied and BH collapses onto the (chunk, count) histogram:
+
+      rank_max(s, O) = #{pixels in s with count >= O}     (suffix-sum)
+      qraw(s, O)     = clip(p(s, O) * m_s / rank_max, 1)
+      q(s, O)        = prefix-min over ascending O         (the reverse
+                        running-min of the sorted order, tie groups whole)
+
+    Tie groups sharing q makes this EXACTLY statsmodels' fdr_bh (tied
+    p-values always emerge from the final cummin with a common value).
+    Counts above ``o_cap`` share the cap bucket; choose the cap so the
+    survival function has underflowed to 0 there (identical p = identical
+    tie group), or fall back to the sort path.
+
+    Returns the dense q array (1 at invalid pixels).
+    """
+    shape = O.shape
+    S, C = n_chunks, o_cap + 1
+    Oc = jnp.clip(jnp.floor(O).astype(jnp.int32), 0, o_cap).ravel()
+    cidc = jnp.clip(cid, 0, S - 1).ravel()
+    vv = valid.ravel()
+
+    # Histogram and table lookup as one-hot matmuls over pixel chunks
+    # (MXU work): scatter-add with duplicate indices and large gathers both
+    # lower pathologically on TPU; 0/1 one-hot arithmetic in bf16 with f32
+    # accumulation is bit-exact for counts < 2^24 and for the select-sum.
+    n = Oc.size
+    CH = max(512, min(8192, (16 << 20) // (2 * C)))   # ~16MB one-hot/step
+    n_pad = -(-n // CH) * CH
+    pad = n_pad - n
+    Oc_p = jnp.pad(Oc, (0, pad)).reshape(-1, CH)
+    cid_p = jnp.pad(cidc, (0, pad)).reshape(-1, CH)
+    vv_p = jnp.pad(vv, (0, pad)).reshape(-1, CH)
+    s_iota = jnp.arange(S, dtype=jnp.int32)
+    c_iota = jnp.arange(C, dtype=jnp.int32)
+
+    def hist_step(acc, xs):
+        oc, cc, va = xs
+        oh_s = ((cc[:, None] == s_iota[None, :]) & va[:, None]
+                ).astype(jnp.bfloat16)
+        oh_o = (oc[:, None] == c_iota[None, :]).astype(jnp.bfloat16)
+        acc = acc + jnp.dot(oh_s.T, oh_o,
+                            preferred_element_type=jnp.float32)
+        return acc, None
+
+    hist2, _ = jax.lax.scan(hist_step, jnp.zeros((S, C), jnp.float32),
+                            (Oc_p, cid_p, vv_p))
+
+    m = hist2.sum(axis=1, keepdims=True)
+    # rank_max(s, O): pixels with count >= O  (descending-O cumulative)
+    rank_max = jnp.cumsum(hist2[:, ::-1], axis=1)[:, ::-1]
+
+    rv = jnp.power(2.0, (jnp.arange(S, dtype=O.dtype) - 1.0) / 3.0)[:, None]
+    counts = jnp.arange(C, dtype=O.dtype)[None, :]
+    ptab = poisson_sf(counts, rv)
+
+    # empty buckets carry a finite sentinel > 1 (inf would turn the 0*inf
+    # products of the selection matmul into NaN); real q-values are <= 1 so
+    # the cummin can never wrongly prefer the sentinel
+    qraw = jnp.where(rank_max > 0,
+                     jnp.minimum(ptab * m / jnp.maximum(rank_max, 1.0), 1.0),
+                     2.0)
+    qtab = jax.lax.cummin(qraw, axis=1).astype(O.dtype)
+
+    def lookup_step(_, xs):
+        # the selection matmul stays in O.dtype: the one-hot picks exactly
+        # one qtab entry per pixel, so the result is bit-exact
+        oc, cc, va = xs
+        oh_s = ((cc[:, None] == s_iota[None, :]) & va[:, None]
+                ).astype(O.dtype)
+        oh_o = (oc[:, None] == c_iota[None, :]).astype(O.dtype)
+        rows = jnp.dot(oh_s, qtab, preferred_element_type=O.dtype)
+        q = jnp.sum(rows * oh_o, axis=1)
+        return None, q
+
+    _, q_chunks = jax.lax.scan(lookup_step, None, (Oc_p, cid_p, vv_p))
+    q = q_chunks.reshape(-1)[:n]
+    q = jnp.where(vv, q, 1.0)
+    return q.reshape(shape).astype(O.dtype)
+
+
 def host_bh(pvals, cids, valid):
     """Per-chunk Benjamini-Hochberg on the host (numpy): exact statsmodels
     fdr_bh semantics, no device sort.  TPU sort/scan primitives have

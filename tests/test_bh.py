@@ -64,3 +64,24 @@ def test_two_level_scan_crosses_row_boundaries():
     got = np.asarray(segmented_bh(jnp.asarray(p), jnp.asarray(seg),
                                   jnp.asarray(valid)))
     np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
+
+
+def test_chunk_histogram_bh_matches_sort_bh():
+    """The sort-free lambda-chunk histogram BH must equal the sorted BH
+    whenever p = sf(floor(O); rv[cid]) (the hiccups chunked path)."""
+    from hicpeaks_tpu.ops.score import chunk_bh_histogram, poisson_sf
+
+    rng = np.random.default_rng(7)
+    n = 40000
+    O = rng.poisson(8.0, n).astype(np.float64)
+    cid = rng.integers(1, 30, n).astype(np.int32)
+    valid = rng.random(n) < 0.85
+    rv = np.power(2.0, (cid - 1) / 3.0)
+    pval = np.asarray(poisson_sf(jnp.asarray(O), jnp.asarray(rv)))
+    pval = np.where(valid, pval, 1.0)
+
+    q_sort = np.asarray(segmented_bh(jnp.asarray(pval), jnp.asarray(cid),
+                                     jnp.asarray(valid)))
+    q_hist = np.asarray(chunk_bh_histogram(jnp.asarray(O), jnp.asarray(cid),
+                                           jnp.asarray(valid), o_cap=256))
+    np.testing.assert_allclose(q_hist, q_sort, rtol=1e-12, atol=1e-15)
