@@ -88,8 +88,12 @@ def _score_one(raw, cband, IR, Bprod, bSV, bEV, wi, cand, L, sig, gap_drop,
         else:
             bh_backend = 'host' if jax.default_backend() == 'tpu' else 'device'
     o_cap = None
-    if chunked and bh_backend == 'device' and max_count is not None and             max_count <= (1 << 17):
-        o_cap = max(256, int(-(-int(max_count) // 128) * 128))
+    if chunked and bh_backend == 'device' and max_count is not None and \
+            max_count <= (1 << 17):
+        # power-of-two cap so chromosomes share compiled programs
+        o_cap = 256
+        while o_cap < int(max_count):
+            o_cap *= 2
     with_bh = bh_backend == 'device'
     pval, cid, valid, qval, keep, scored, O, ICE, Fold, prod = _score_device(
         raw, cband, IR, Bprod, bSV, bEV, cand, gap_drop, sig,
