@@ -198,4 +198,15 @@ def main():
 
 
 if __name__ == '__main__':
-    sys.exit(main())
+    try:
+        sys.exit(main())
+    except Exception as e:   # always hand the driver a JSON line
+        import traceback
+        traceback.print_exc(file=sys.stderr)
+        print(json.dumps({
+            'metric': f'pixels-scored/s/chip (FAILED: {type(e).__name__})',
+            'value': 0.0,
+            'unit': 'pixels/s',
+            'vs_baseline': 0.0,
+        }), flush=True)
+        os._exit(3)
