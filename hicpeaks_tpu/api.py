@@ -61,7 +61,7 @@ def _selected_chroms(clr: CoolerLite, chroms):
 
 
 def _run(kind, cooler_uri, cfg, chroms, mesh, scan_backend, checkpoint_dir,
-         dtype, profile_dir, shape_bucket=4096):
+         dtype, profile_dir, shape_bucket=4096, max_retries=1):
     clr = CoolerLite(cooler_uri)
     results = {}
     ww_min = cfg.ww_min
@@ -85,11 +85,28 @@ def _run(kind, cooler_uri, cfg, chroms, mesh, scan_backend, checkpoint_dir,
                                       ww_min, dtype=dtype,
                                       weight_name=cfg.clr_weight_name,
                                       lane_pad=shape_bucket)
+            t_band = time.perf_counter() - t0
             n_cand = int((bands.raw != 0).sum())
-            table = caller(bands, cfg, mesh=mesh, scan_backend=scan_backend)
+            # per-chromosome units are independently retryable (SURVEY §5:
+            # the reference has no failure recovery; device/runtime faults
+            # here cost one chromosome attempt, not the run)
+            attempt = 0
+            while True:
+                try:
+                    table = caller(bands, cfg, mesh=mesh,
+                                   scan_backend=scan_backend)
+                    break
+                except Exception:
+                    attempt += 1
+                    if attempt > max_retries:
+                        raise
+                    log.exception('Chrom:%s, attempt %d failed; retrying',
+                                  label, attempt)
+                    time.sleep(5 * attempt)
             dt = time.perf_counter() - t0
             log.info('Chrom:%s, %d band pixels scored in %.2fs '
-                     '(%.0f pixels/s), %d peaks', label, n_cand, dt,
+                     '(band build %.2fs; %.0f pixels/s), %d peaks',
+                     label, n_cand, dt, t_band,
                      n_cand / max(dt, 1e-9), len(table))
             results[label] = table
             if checkpoint_dir:
