@@ -53,7 +53,7 @@ def _install_watchdog(seconds=1500):
 
 def main():
     t_start = time.time()
-    _install_watchdog(int(os.environ.get('HICPEAKS_BENCH_TIMEOUT', 1500)))
+    _install_watchdog(int(os.environ.get('HICPEAKS_BENCH_TIMEOUT', 3000)))
     os.environ.setdefault('JAX_COMPILATION_CACHE_DIR',
                           os.path.join(os.path.dirname(
                               os.path.abspath(__file__)), '.jax_cache'))
