@@ -158,14 +158,12 @@ def main():
             E, O, ICE, Fold, scored, prod = score_ops.expected_observed(
                 raw_i, cband, IR, Bprod, bSV, bEV, ww[0], cand, bands.L)
             cid, rv, valid = score_ops.lambda_chunks(E, scored)
-            # sort-free lambda-chunk histogram BH (the production path);
-            # p and q both come from the (chunk, count) tables
-            qval, pval = score_ops.chunk_bh_histogram(
-                O, cid, valid, o_cap=o_cap, return_pval=True)
+            pval = jnp.where(valid, score_ops.poisson_sf(O, rv), 1.0)
+            # sort-free lambda-chunk histogram BH (the production path)
+            qval = score_ops.chunk_bh_histogram(O, cid, valid, o_cap=o_cap)
             keep = scored & (qval <= 0.05) & ~gap_drop
             n_keep = n_keep + keep.sum().astype(jnp.int32)
-            acc = acc + qval.sum().astype(jnp.float32) + \
-                pval.sum().astype(jnp.float32)
+            acc = acc + qval.sum().astype(jnp.float32)
         return acc * 0.0, n_keep
 
     args = (raw, cband, eband, IR, Bprod, cand, gap_drop, allowed)

@@ -59,25 +59,20 @@ def _score_device(raw, cband, IR, Bprod, bSV, bEV, cand, gap_drop, sig,
         raw, cband, IR, Bprod, bSV, bEV, wi, cand, L)
     if chunked:
         cid, rv, valid = score_ops.lambda_chunks(E, scored)
+        pval = jnp.where(valid, score_ops.poisson_sf(O, rv), 1.0)
     else:
         cid = jnp.ones(E.shape, jnp.int32)
         valid = scored
-    if with_bh and chunked and o_cap is not None:
-        # q AND p from the (chunk, count) tables — bit-equal to the direct
-        # per-pixel survival function, no 10^6-scale gammainc evals
-        qval, pval = score_ops.chunk_bh_histogram(O, cid, valid,
-                                                  o_cap=o_cap,
-                                                  return_pval=True)
-    else:
-        if chunked:
-            pval = jnp.where(valid, score_ops.poisson_sf(O, rv), 1.0)
-        else:
-            pval = jnp.where(scored, score_ops.poisson_sf(O, E), 1.0)
-        qval = score_ops.segmented_bh(pval, cid, valid) if with_bh else None
+        pval = jnp.where(scored, score_ops.poisson_sf(O, E), 1.0)
     if with_bh:
+        if chunked and o_cap is not None:
+            qval = score_ops.chunk_bh_histogram(O, cid, valid, o_cap=o_cap)
+        else:
+            qval = score_ops.segmented_bh(pval, cid, valid)
         reject = scored & (qval <= sig)
         keep = reject & ~gap_drop
     else:
+        qval = None
         keep = None
     return pval, cid, valid, qval, keep, scored, O, ICE, Fold, prod
 

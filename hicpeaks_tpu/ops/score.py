@@ -181,8 +181,7 @@ def segmented_bh(pvals, seg, valid):
     return out.reshape(shape)
 
 
-def chunk_bh_histogram(O, cid, valid, n_chunks=128, o_cap=32768,
-                       return_pval=False):
+def chunk_bh_histogram(O, cid, valid, n_chunks=128, o_cap=32768):
     """Sort-free Benjamini-Hochberg for the lambda-chunked path — the
     north-star 'on-device lambda-chunk histogramming'.
 
@@ -251,29 +250,21 @@ def chunk_bh_histogram(O, cid, valid, n_chunks=128, o_cap=32768,
                      2.0)
     qtab = jax.lax.cummin(qraw, axis=1).astype(O.dtype)
 
-    ptab_t = ptab.astype(O.dtype)
-
     def lookup_step(_, xs):
         # the selection matmul stays in O.dtype: the one-hot picks exactly
-        # one table entry per pixel, so the result is bit-exact
+        # one qtab entry per pixel, so the result is bit-exact
         oc, cc, va = xs
         oh_s = ((cc[:, None] == s_iota[None, :]) & va[:, None]
                 ).astype(O.dtype)
         oh_o = (oc[:, None] == c_iota[None, :]).astype(O.dtype)
         rows = jnp.dot(oh_s, qtab, preferred_element_type=O.dtype)
         q = jnp.sum(rows * oh_o, axis=1)
-        prow = jnp.dot(oh_s, ptab_t, preferred_element_type=O.dtype)
-        p = jnp.sum(prow * oh_o, axis=1)
-        return None, (q, p)
+        return None, q
 
-    _, (q_chunks, p_chunks) = jax.lax.scan(lookup_step, None,
-                                           (Oc_p, cid_p, vv_p))
-    q = jnp.where(vv, q_chunks.reshape(-1)[:n], 1.0).reshape(shape)
-    q = q.astype(O.dtype)
-    if return_pval:
-        p = jnp.where(vv, p_chunks.reshape(-1)[:n], 1.0).reshape(shape)
-        return q, p.astype(O.dtype)
-    return q
+    _, q_chunks = jax.lax.scan(lookup_step, None, (Oc_p, cid_p, vv_p))
+    q = q_chunks.reshape(-1)[:n]
+    q = jnp.where(vv, q, 1.0)
+    return q.reshape(shape).astype(O.dtype)
 
 
 def host_bh(pvals, cids, valid):
