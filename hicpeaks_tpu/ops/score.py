@@ -9,9 +9,11 @@ stage (callers.py:239-317 for hiccups, callers.py:517-577 for bhfdr):
   the chunk's right edge (callers.py:25-41, 268-270)
 * Poisson survival via the regularized lower incomplete gamma:
   1 - PoissonCDF(k; lam) = P(k+1, lam)
-* segmented (per-chunk) Benjamini-Hochberg computed with two stable sorts
-  and a segmented reverse running-min — statsmodels' fdr_bh semantics, on
-  device (replacing the statsmodels dependency, callers.py:11,273-275)
+* per-chunk Benjamini-Hochberg — statsmodels' fdr_bh semantics on device
+  (replacing the statsmodels dependency, callers.py:11,273-275) — in two
+  flavours: a sort-free (chunk, count) histogram for the chunked path
+  (`chunk_bh_histogram`, the production path) and a multi-key-sort
+  implementation for continuous-lambda BH (`segmented_bh`)
 * gap filtering with the reference's exact (exclusive-upper) window ranges
   (callers.py:291-312)
 """
