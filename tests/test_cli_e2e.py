@@ -105,3 +105,16 @@ def test_native_fastload_matches_numpy(workspace):
     np.testing.assert_array_equal(b1, ref[:, 0].astype(np.int64))
     np.testing.assert_array_equal(b2, ref[:, 1].astype(np.int64))
     np.testing.assert_allclose(ct, ref[:, 2])
+
+
+def test_bedpe_roundtrip(workspace):
+    """Writer output must parse back through the reference's own parser
+    semantics (skip=0, chr-prefix strip)."""
+    from hicpeaks_tpu.io.peakfile import parse_peakfile
+    root = workspace['root']
+    for name in ('hiccups.bedpe', 'bhfdr.bedpe', 'combined.bedpe'):
+        peaks = parse_peakfile(str(root / name), skip=0)
+        assert '21' in peaks and len(peaks['21']) > 0
+        for s1, e1, s2, e2 in peaks['21']:
+            assert e1 - s1 == workspace['res'] or name == 'combined.bedpe'
+            assert s2 >= s1
