@@ -135,6 +135,7 @@ def _grow_clusters(sort_list, r, visited, final_list):
             cen = tuple(np.round(arr.mean(axis=0)).astype(int))
             rad = int(np.round(max(
                 np.hypot(q[0] - cen[0], q[1] - cen[1]) for q in collected))) + r
+            remaining = np.asarray(stranded)
         grabbed_pool.update(collected)
         final_list.append((seed, cen, rad))
     visited.update(grabbed_pool)
