@@ -192,6 +192,15 @@ class CoolerLite:
         lo, hi = self.bin_range(chrom)
         return w[lo:hi]
 
+    def pixels(self):
+        """All stored pixels genome-wide as (bin1_id, bin2_id, count) —
+        intra and inter chromosomal, upper-triangle convention.  Feeds the
+        trans-inclusive balancing path (utilities.py:398-417)."""
+        with h5py.File(self.path, 'r') as h5:
+            grp = h5[self.group]
+            return (grp['pixels/bin1_id'][:], grp['pixels/bin2_id'][:],
+                    grp['pixels/count'][:])
+
     def pixels_for_chrom(self, chrom):
         """(bin1, bin2, count) local to the chromosome (intra only)."""
         lo, hi = self.bin_range(chrom)

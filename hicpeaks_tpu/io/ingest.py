@@ -129,6 +129,17 @@ def ingest(datasets, outfil, chromsizes_file, chroms=('#', 'X'),
                 if c1 == c2:
                     n = int(max(x.max(), y.max())) + 1 if x.size else 0
                     x, y, vals = _symmetrize_upper(x, y, vals, n)
+                elif x.size:
+                    # trans pairs go through the same sparse round-trip the
+                    # reference applies (utilities.py:313-321): duplicates
+                    # summed, stored zeros dropped, rows sorted
+                    n1 = n_bins[c1]
+                    n2 = n_bins[c2]
+                    T = sparse.coo_matrix((vals, (x, y)),
+                                          shape=(n1, n2)).tocsr()
+                    T.eliminate_zeros()
+                    T = T.tocoo()
+                    x, y, vals = T.row, T.col, T.data
                 chunks.append({
                     'bin1_id': x + offsets[c1],
                     'bin2_id': y + offsets[c2],

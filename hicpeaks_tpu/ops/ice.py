@@ -153,18 +153,113 @@ def ice_balance_chrom(raw_band, L, ignore_diags=1, mad_max=5, min_nnz=10,
                      n_iters=n_iters, scale=float(scale))
 
 
+@functools.partial(jax.jit, static_argnames=('n_bins', 'ignore_diags',
+                                             'min_nnz', 'min_count',
+                                             'mad_max', 'max_iters'))
+def _ice_coo_device(bin1, bin2, count, n_bins, ignore_diags, min_nnz,
+                    min_count, mad_max, tol, max_iters):
+    """Genome-wide (trans-inclusive) iterative correction over a COO pixel
+    list.  Marginals are scatter-adds over genome-wide bin ids — each stored
+    upper-triangle pixel contributes to both its row and its column bin
+    (diagonal once), which is exactly the symmetric matvec ``S @ b``.
+
+    ``ignore_diags`` masks by genome-wide id distance, matching cooler's
+    chunk filter; with the default ignore_diags=1 only the main diagonal
+    (always intra-chromosomal) is dropped."""
+    count = jnp.where(bin2 - bin1 < ignore_diags, 0.0, count)
+    offdiag = bin1 != bin2
+
+    def marginal(b):
+        v = count * b[bin1] * b[bin2]
+        m = jnp.zeros(n_bins, count.dtype).at[bin1].add(v)
+        return m.at[bin2].add(jnp.where(offdiag, v, 0.0))
+
+    nz = (count != 0).astype(count.dtype)
+    nnz = jnp.zeros(n_bins, count.dtype).at[bin1].add(nz)
+    nnz = nnz.at[bin2].add(jnp.where(offdiag, nz, 0.0))
+    marg0 = marginal(jnp.ones(n_bins, count.dtype))
+
+    mask = jnp.ones(n_bins, bool)
+    if min_nnz > 0:
+        mask = mask & (nnz >= min_nnz)
+    if min_count > 0:
+        mask = mask & (marg0 >= min_count)
+    if mad_max > 0:
+        m = jnp.where(mask, marg0, 0.0)
+        pos = m > 0
+        logm = jnp.where(pos, jnp.log(jnp.where(pos, m, 1.0)), jnp.nan)
+        med = jnp.nanmedian(logm)
+        dev = jnp.nanmedian(jnp.abs(logm - med))
+        cutoff = jnp.exp(med - mad_max * dev)
+        mask = mask & (m >= cutoff)
+
+    b0 = jnp.where(mask, 1.0, 0.0).astype(count.dtype)
+
+    def cond(state):
+        b, var, it = state
+        return (var >= tol) & (it < max_iters)
+
+    def body(state):
+        b, _, it = state
+        m = marginal(b)
+        nzm = m > 0
+        cnt = jnp.maximum(jnp.sum(nzm), 1)
+        mean = jnp.sum(jnp.where(nzm, m, 0.0)) / cnt
+        rel = jnp.where(nzm, m / mean, 1.0)
+        b = b / rel
+        var = jnp.sum(jnp.where(nzm, (m / mean - 1.0) ** 2, 0.0)) / cnt
+        return b, var, it + 1
+
+    b, var, it = jax.lax.while_loop(cond, body, (b0, jnp.inf, 0))
+    m = marginal(b)
+    nzm = m > 0
+    cnt = jnp.maximum(jnp.sum(nzm), 1)
+    scale = jnp.sum(jnp.where(nzm, m, 0.0)) / cnt
+    b = b / jnp.sqrt(jnp.where(scale > 0, scale, 1.0))
+    return b, mask, var, it, scale
+
+
+def ice_balance_genome(bin1, bin2, count, n_bins, ignore_diags=1, mad_max=5,
+                       min_nnz=10, min_count=0, tol=1e-5, max_iters=200,
+                       device=None) -> IceResult:
+    """Trans-inclusive balancing over the genome-wide pixel list (the
+    reference's ``cis_only=False`` branch, utilities.py:398-417 with
+    ``onlyIntra='False'`` metadata); returns cooler-convention weights of
+    length ``n_bins``."""
+    dtype = np.float64 if device is not None else np.float32
+    arrs = (np.asarray(bin1, np.int32), np.asarray(bin2, np.int32),
+            np.asarray(count, dtype))
+    if device is not None:
+        arrs = tuple(jax.device_put(a, device) for a in arrs)
+    b, mask, var, it, scale = _ice_coo_device(
+        *arrs, n_bins, ignore_diags, min_nnz, min_count, mad_max, tol,
+        max_iters)
+    b = np.asarray(b, np.float64)
+    mask = np.asarray(mask)
+    weights = np.where(mask & (b > 0), b, np.nan)
+    varf = float(var)
+    return IceResult(bias=weights, var=varf, converged=varf < tol,
+                     n_iters=int(it), scale=float(scale))
+
+
 def balance(clr, nproc=1, chunksize=int(1e7), mad_max=5, min_nnz=10,
             min_count=0, ignore_diags=1, tol=1e-5, max_iters=200,
-            weight_name='weight'):
-    """Balance every chromosome of a cooler group and persist bins/weight,
-    mirroring the reference ``balance()`` entry point (utilities.py:367-431).
+            weight_name='weight', cis_only=None):
+    """Balance a cooler group and persist bins/weight, mirroring the
+    reference ``balance()`` entry point (utilities.py:367-431).  Like the
+    reference, ``cis_only`` defaults to the cooler's ``onlyIntra`` metadata
+    (utilities.py:398-402): intra-only files get independent per-chromosome
+    correction; trans-inclusive files get one genome-wide correction.
     ``nproc``/``chunksize`` are accepted for CLI compatibility; the device
     path needs neither."""
+    if cis_only is None:
+        meta = clr.info.get('metadata') or {}
+        cis_only = str(meta.get('onlyIntra', 'True')) == 'True'
     res = clr.binsize
     weights = []
     stats = {'tol': tol, 'min_nnz': min_nnz, 'min_count': min_count,
-             'mad_max': mad_max, 'cis_only': True, 'ignore_diags': ignore_diags,
-             'converged': True}
+             'mad_max': mad_max, 'cis_only': bool(cis_only),
+             'ignore_diags': ignore_diags, 'converged': True}
     # Balancing is ingestion-time work; it runs on the host CPU backend by
     # default (float64, exact parity with the reference's double-precision
     # ICE) — remote-TPU tunnels proved unreliable for this program class
@@ -176,6 +271,16 @@ def balance(clr, nproc=1, chunksize=int(1e7), mad_max=5, min_nnz=10,
     except RuntimeError:
         device = None
         dtype = np.float32
+    if not cis_only:
+        b1, b2, ct = clr.pixels()
+        result = ice_balance_genome(b1, b2, ct, clr.nbins,
+                                    ignore_diags=ignore_diags,
+                                    mad_max=mad_max, min_nnz=min_nnz,
+                                    min_count=min_count, tol=tol,
+                                    max_iters=max_iters, device=device)
+        stats['converged'] = result.converged
+        clr.write_weights(result.bias, stats, name=weight_name)
+        return stats
     for chrom in clr.chromnames:
         lo, hi = clr.bin_range(chrom)
         L = hi - lo

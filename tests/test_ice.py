@@ -100,3 +100,59 @@ def _to_band(S):
         idx = np.arange(n - d)
         band[d, idx] = S[idx, idx + d]
     return band
+
+
+def _to_coo_upper(S):
+    iu = np.triu_indices(S.shape[0])
+    b1, b2 = iu
+    keep = S[b1, b2] != 0
+    return b1[keep], b2[keep], S[b1, b2][keep]
+
+
+def _genome_with_trans(n1=60, n2=48, seed=3):
+    """Two-chromosome genome-wide symmetric matrix with a trans block."""
+    rng = np.random.default_rng(seed)
+    n = n1 + n2
+    bias = np.exp(rng.normal(0, 0.4, n))
+    S = np.zeros((n, n))
+    for lo, hi in ((0, n1), (n1, n)):
+        d = np.abs(np.arange(lo, hi)[:, None] - np.arange(lo, hi)[None, :])
+        A = rng.poisson(20.0 / (1.0 + d) ** 0.8
+                        * np.outer(bias[lo:hi], bias[lo:hi]))
+        S[lo:hi, lo:hi] = np.triu(A) + np.triu(A, 1).T
+    T = rng.poisson(0.8 * np.outer(bias[:n1], bias[n1:]))
+    S[:n1, n1:] = T
+    S[n1:, :n1] = T.T
+    return S
+
+
+def test_genome_ice_matches_numpy_reference():
+    """Trans-inclusive (cis_only=False) ICE over the COO pixel list must
+    equal the dense genome-wide reference implementation."""
+    from hicpeaks_tpu.ops.ice import ice_balance_genome
+    S = _genome_with_trans()
+    want = _numpy_ice(S)
+    b1, b2, ct = _to_coo_upper(S)
+    import jax
+    got = ice_balance_genome(b1, b2, ct, S.shape[0],
+                             device=jax.devices('cpu')[0]).bias
+    np.testing.assert_array_equal(np.isnan(got), np.isnan(want))
+    ok = ~np.isnan(want)
+    np.testing.assert_allclose(got[ok], want[ok], rtol=1e-6)
+
+
+def test_genome_ice_differs_from_cis_only():
+    """The trans block must actually influence the weights — guards against
+    silently falling back to the per-chromosome path (round-1 ADVICE)."""
+    from hicpeaks_tpu.ops.ice import ice_balance_genome
+    import jax
+    cpu = jax.devices('cpu')[0]
+    S = _genome_with_trans()
+    n1 = 60
+    b1, b2, ct = _to_coo_upper(S)
+    full = ice_balance_genome(b1, b2, ct, S.shape[0], device=cpu).bias
+    cis = (b1 < n1) == (b2 < n1)
+    cis_w = ice_balance_genome(b1[cis], b2[cis], ct[cis], S.shape[0],
+                               device=cpu).bias
+    ok = ~(np.isnan(full) | np.isnan(cis_w))
+    assert not np.allclose(full[ok], cis_w[ok], rtol=1e-3)

@@ -51,3 +51,70 @@ def test_trans_inclusive_ingestion(tmp_path):
     M2 = clr.fetch_sparse('2')
     assert M1.shape == (40, 40) and M2.shape == (30, 30)
     assert M1.nnz > 0 and M2.nnz > 0
+
+
+def test_trans_duplicates_and_zeros_collapse(tmp_path):
+    """Duplicate (bin1,bin2) trans records must be summed and explicit
+    zeros dropped — the reference's csr round-trip + nonzero() semantics
+    (utilities.py:305,313)."""
+    res = 50000
+    folder = tmp_path / '50K'
+    folder.mkdir()
+    for c, nb in (('1', 32), ('2', 28)):
+        b1, b2, ct, _, _ = synthesize_chrom(n_bins=nb, res=res, seed=int(c),
+                                            n_loops=1, depth=30.0)
+        write_txt(str(folder / f'{c}_{c}.txt'), b1, b2, ct)
+    # trans file with a duplicated pair and an explicit zero
+    write_txt(str(folder / '1_2.txt'),
+              np.array([3, 3, 5, 6]), np.array([2, 2, 4, 1]),
+              np.array([4, 6, 0, 7]))
+    with open(tmp_path / 'sizes', 'w') as f:
+        f.write(f'chr1\t{32 * res}\nchr2\t{28 * res}\n')
+    out = tmp_path / 'dedup.cool'
+    ingest({res: str(folder)}, str(out),
+           chromsizes_file=str(tmp_path / 'sizes'), only_intra=False)
+    clr = CoolerLite(f'{out}::{res}')
+    b1, b2, ct = clr.pixels()
+    trans = (b1 < 32) & (b2 >= 32)
+    pairs = list(zip(b1[trans].tolist(), b2[trans].tolist(),
+                     ct[trans].tolist()))
+    assert pairs == [(3, 34, 10), (6, 33, 7)]   # summed; zero row gone
+    assert len(set((a, b) for a, b, _ in pairs)) == len(pairs)
+
+
+def test_balance_honors_only_intra_metadata(tmp_path):
+    """balance() must route on the cooler's onlyIntra metadata
+    (utilities.py:398-402): trans-inclusive files get genome-wide weights
+    that equalize marginals *including* the trans block."""
+    from hicpeaks_tpu.ops.ice import balance
+    res = 50000
+    folder = tmp_path / '50K'
+    folder.mkdir()
+    rng = np.random.default_rng(7)
+    for c, nb in (('1', 48), ('2', 40)):
+        b1, b2, ct, _, _ = synthesize_chrom(n_bins=nb, res=res, seed=int(c),
+                                            n_loops=2, depth=40.0)
+        write_txt(str(folder / f'{c}_{c}.txt'), b1, b2, ct)
+    tb1 = np.repeat(np.arange(48), 40 // 4)
+    tb2 = np.tile(np.arange(0, 40, 4), 48)
+    tc = rng.poisson(3.0, tb1.size) + 1
+    write_txt(str(folder / '1_2.txt'), tb1, tb2, tc)
+    with open(tmp_path / 'sizes', 'w') as f:
+        f.write(f'chr1\t{48 * res}\nchr2\t{40 * res}\n')
+    out = tmp_path / 'bal.cool'
+    ingest({res: str(folder)}, str(out),
+           chromsizes_file=str(tmp_path / 'sizes'), only_intra=False)
+    clr = CoolerLite(f'{out}::{res}')
+    stats = balance(clr)
+    assert stats['cis_only'] is False
+    w = clr.weights()
+    assert w.size == 88
+    # balanced genome-wide marginals (diag dropped) are ~constant
+    b1, b2, ct = clr.pixels()
+    v = ct * np.nan_to_num(w[b1]) * np.nan_to_num(w[b2])
+    v[b1 == b2] = 0
+    marg = np.zeros(88)
+    np.add.at(marg, b1, v)
+    np.add.at(marg, b2, np.where(b1 != b2, v, 0))
+    ok = ~np.isnan(w)
+    np.testing.assert_allclose(marg[ok], marg[ok].mean(), rtol=2e-2)
