@@ -10,10 +10,14 @@ import numpy as np
 from .. import __version__
 
 
-def locate_peak_bins(clr, chrom, peaks, res, min_dis_bins):
+def locate_peak_bins(clr, chrom, peaks, res, min_dis_bins, balance=False):
     """For each bedpe interval pair, pick the bin pair with the maximal
-    contact value (reference scripts/apa-analysis:98-119)."""
-    M = clr.fetch_sparse(chrom, balance=False)
+    contact value (reference scripts/apa-analysis:98-119).  ``balance``
+    must match the matrix used for window extraction — the reference ranks
+    candidates on the same (by default balanced) matrix it extracts from
+    (scripts/apa-analysis:95,98-119); NaN entries never win the argmax
+    but the first candidate is taken unconditionally, exactly as there."""
+    M = clr.fetch_sparse(chrom, balance=balance)
     n = M.shape[0]
     pos = []
     for p in peaks:
@@ -88,7 +92,8 @@ def main(argv=None):
         chrom = pre + c
         if chrom not in clr.chromsizes:
             continue
-        pos = locate_peak_bins(clr, chrom, peaks[c], res, args.min_dis)
+        pos = locate_peak_bins(clr, chrom, peaks[c], res, args.min_dis,
+                               balance=correct)
         if not pos:
             continue
         # symmetric matrix as an upper band covering every needed diagonal

@@ -51,6 +51,73 @@ def test_apa_windows_match_dense_reference():
         np.testing.assert_allclose(g, wnt, rtol=1e-12)
 
 
+class _StubClr:
+    """Just enough of CoolerLite for locate_peak_bins."""
+
+    def __init__(self, raw, bal):
+        self._raw, self._bal = raw, bal
+
+    def fetch_sparse(self, chrom, balance=False):
+        from scipy import sparse
+        return sparse.csr_matrix(self._bal if balance else self._raw)
+
+
+def _reference_locate(M, peaks, res, min_dis):
+    """Literal transcription of scripts/apa-analysis:98-119."""
+    pos = []
+    for p in peaks:
+        x, y = p[0], p[2]
+        if abs(y - x) < min_dis * res:
+            continue
+        s_l = range(p[0] // res, int(np.ceil(p[1] / float(res))))
+        e_l = range(p[2] // res, int(np.ceil(p[3] / float(res))))
+        si, ei = None, None
+        for st in s_l:
+            for et in e_l:
+                if (st < M.shape[0]) and (et < M.shape[0]):
+                    if si is None:
+                        si, ei = st, et
+                    elif M[st, et] > M[si, ei]:
+                        si, ei = st, et
+        if si is not None:
+            pos.append((si, ei) if si < ei else (ei, si))
+    return pos
+
+
+def test_locate_peak_bins_uses_requested_matrix():
+    """ADVICE r1: candidate ranking must run on the same (balanced by
+    default) matrix the windows are extracted from, not the raw one."""
+    from scipy import sparse
+    from hicpeaks_tpu.cli.apa import locate_peak_bins
+
+    n, res = 40, 10
+    raw = np.zeros((n, n))
+    bal = np.zeros((n, n))
+    # interval pair covers bins 10-12 x 30-32; raw argmax at (11, 31),
+    # balanced argmax at (12, 30) — the fix must follow the balanced one.
+    raw[11, 31] = 100.0
+    raw[12, 30] = 10.0
+    bal[11, 31] = 1.0
+    bal[12, 30] = 5.0
+    bal[10, 32] = np.nan          # NaN must never win the argmax
+    peaks = [(100, 130, 300, 330)]
+
+    clr = _StubClr(raw, bal)
+    got_raw = locate_peak_bins(clr, 'x', peaks, res, 0, balance=False)
+    got_bal = locate_peak_bins(clr, 'x', peaks, res, 0, balance='weight')
+    assert got_raw == [(11, 31)]
+    assert got_bal == [(12, 30)]
+    assert got_bal == _reference_locate(
+        sparse.csr_matrix(bal), peaks, res, 0)
+    # all-NaN candidates: reference keeps the unconditional first candidate
+    nan_only = np.full((n, n), 0.0)
+    nan_bal = np.full((n, n), np.nan)
+    clr2 = _StubClr(nan_only, nan_bal)
+    got = locate_peak_bins(clr2, 'x', peaks, res, 0, balance='weight')
+    assert got == _reference_locate(
+        sparse.csr_matrix(nan_bal), peaks, res, 0) == [(10, 30)]
+
+
 def test_apa_analysis_scoring():
     rng = np.random.default_rng(0)
     w, cw = 5, 3
