@@ -143,6 +143,48 @@ def _cumsum_2l(x):
     return (row + carry[:, None]).reshape(-1)[:n]
 
 
+def _seg_suffix_min(vals, first):
+    """Exact within-segment suffix-min of ``vals`` where ``first`` marks
+    segment starts (arrays in sorted-segment order).
+
+    Reversed, this is a forward *segmented* cummin with resets at the
+    original segment-last positions.  The combine
+    ``(m1,f1) op (m2,f2) = (m2 if f2 else min(m1,m2), f1|f2)`` is
+    associative, so it runs as a two-level scan: an associative_scan along
+    rows of a [B, _SCAN_ROW] reshape plus a tiny cross-row carry — the same
+    compile-cost shape as the plain scans (long 1-D scans compile in
+    minutes on XLA:TPU).  Bit-exact: a min never creates new values, so no
+    precision caveat at any segment count (ADVICE r1 on the former
+    ordinal-offset formulation)."""
+    n = vals.shape[0]
+    # reset[i] (reversed order) = original `last` = first shifted left
+    last = jnp.concatenate([first[1:], jnp.ones(1, bool)])
+    v = vals[::-1]
+    r = last[::-1]
+
+    def comb(a, b):
+        m1, f1 = a
+        m2, f2 = b
+        return jnp.where(f2, m2, jnp.minimum(m1, m2)), f1 | f2
+
+    C = _SCAN_ROW
+    if n <= C:
+        m, _ = jax.lax.associative_scan(comb, (v, r))
+        return m[::-1]
+    B = -(-n // C)
+    vp = jnp.pad(v, (0, B * C - n), constant_values=jnp.inf).reshape(B, C)
+    rp = jnp.pad(r, (0, B * C - n)).reshape(B, C)
+    row_m, row_f = jax.lax.associative_scan(comb, (vp, rp), axis=1)
+    # carry into row b = segmented scan over previous rows' tails
+    tail_m, tail_f = row_m[:, -1], row_f[:, -1]
+    cm, _ = jax.lax.associative_scan(comb, (tail_m[None, :],
+                                            tail_f[None, :]), axis=1)
+    carry = jnp.concatenate([jnp.full(1, jnp.inf, vals.dtype), cm[0, :-1]])
+    # the carry applies only until the first reset inside the row
+    out = jnp.where(row_f, row_m, jnp.minimum(row_m, carry[:, None]))
+    return out.reshape(-1)[::-1][B * C - n:]
+
+
 def segmented_bh(pvals, seg, valid):
     """Benjamini-Hochberg q-values within each segment of ``seg`` (int ids),
     restricted to ``valid``; invalid entries get q = 1.
@@ -152,8 +194,7 @@ def segmented_bh(pvals, seg, valid):
 
     Engineering notes (TPU compile cost): one multi-key lax.sort instead of
     two argsorts; all running extrema via two-level reshaped scans; the
-    segmented suffix-min via an ordinal offset (+2 per segment — exact up
-    to one ulp of 2*n_segments, far below the 3-significant-digit output).
+    segmented suffix-min via an exact pair-scan (_seg_suffix_min).
     """
     shape = pvals.shape
     p = pvals.ravel()
@@ -173,10 +214,7 @@ def segmented_bh(pvals, seg, valid):
     rank = (idx - seg_start + 1).astype(ps.dtype)
     qc = jnp.minimum(ps * m / rank, 1.0)
 
-    ordinal = (_cumsum_2l(first.astype(jnp.int32)) - 1).astype(ps.dtype)
-    adj = qc + 2.0 * ordinal
-    sufmin = _two_level(adj, _cmin, jnp.inf, reverse=True)
-    q = sufmin - 2.0 * ordinal
+    q = _seg_suffix_min(qc, first)
 
     out = jnp.zeros(n, ps.dtype).at[perm].set(q)
     out = jnp.where(valid.ravel(), out, 1.0)
@@ -213,7 +251,9 @@ def chunk_bh_histogram(O, cid, valid, n_chunks=128, o_cap=32768):
     # Histogram and table lookup as one-hot matmuls over pixel chunks
     # (MXU work): scatter-add with duplicate indices and large gathers both
     # lower pathologically on TPU; 0/1 one-hot arithmetic in bf16 with f32
-    # accumulation is bit-exact for counts < 2^24 and for the select-sum.
+    # accumulation is bit-exact per step (CH <= 8192 < 2^24), and the
+    # running total is carried in int32 so no bucket ever saturates a f32
+    # mantissa however many pixels land in it (ADVICE r1).
     n = Oc.size
     CH = max(512, min(8192, (16 << 20) // (2 * C)))   # ~16MB one-hot/step
     n_pad = -(-n // CH) * CH
@@ -229,16 +269,16 @@ def chunk_bh_histogram(O, cid, valid, n_chunks=128, o_cap=32768):
         oh_s = ((cc[:, None] == s_iota[None, :]) & va[:, None]
                 ).astype(jnp.bfloat16)
         oh_o = (oc[:, None] == c_iota[None, :]).astype(jnp.bfloat16)
-        acc = acc + jnp.dot(oh_s.T, oh_o,
-                            preferred_element_type=jnp.float32)
+        step = jnp.dot(oh_s.T, oh_o, preferred_element_type=jnp.float32)
+        acc = acc + step.astype(jnp.int32)
         return acc, None
 
-    hist2, _ = jax.lax.scan(hist_step, jnp.zeros((S, C), jnp.float32),
+    hist2, _ = jax.lax.scan(hist_step, jnp.zeros((S, C), jnp.int32),
                             (Oc_p, cid_p, vv_p))
 
-    m = hist2.sum(axis=1, keepdims=True)
+    m = hist2.sum(axis=1, keepdims=True).astype(O.dtype)
     # rank_max(s, O): pixels with count >= O  (descending-O cumulative)
-    rank_max = jnp.cumsum(hist2[:, ::-1], axis=1)[:, ::-1]
+    rank_max = jnp.cumsum(hist2[:, ::-1], axis=1)[:, ::-1].astype(O.dtype)
 
     rv = jnp.power(2.0, (jnp.arange(S, dtype=O.dtype) - 1.0) / 3.0)[:, None]
     counts = jnp.arange(C, dtype=O.dtype)[None, :]

@@ -66,6 +66,29 @@ def test_two_level_scan_crosses_row_boundaries():
     np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
 
 
+def test_segmented_bh_tiny_p_float32_many_segments():
+    """ADVICE r1: the former ordinal-offset suffix-min clamped q-values
+    below ~ulp(2*n_segments) (~1e-5 in f32 at ~100 segments).  The exact
+    pair-scan must preserve tiny q-values even in float32."""
+    rng = np.random.default_rng(11)
+    n, nseg = 50000, 120
+    p = rng.random(n).astype(np.float32)
+    seg = rng.integers(1, nseg + 1, n)
+    valid = np.ones(n, bool)
+    # plant astronomically small p-values across many segments
+    tiny_idx = rng.choice(n, 200, replace=False)
+    p[tiny_idx] = 10.0 ** rng.uniform(-30, -8, 200)
+
+    got = np.asarray(segmented_bh(jnp.asarray(p, jnp.float32),
+                                  jnp.asarray(seg), jnp.asarray(valid)))
+    want = _reference_segmented(p.astype(np.float64), seg, valid)
+    # f32 rounding only in p*m/rank — never in the suffix-min itself
+    np.testing.assert_allclose(got[tiny_idx], want[tiny_idx], rtol=1e-5)
+    # q = p*m/rank with p <= 1e-8 and m <= n: far below the old ~1e-5 clamp
+    assert (got[tiny_idx] < 1e-3).all()
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
+
+
 def test_chunk_histogram_bh_matches_sort_bh():
     """The sort-free lambda-chunk histogram BH must equal the sorted BH
     whenever p = sf(floor(O); rv[cid]) (the hiccups chunked path)."""
