@@ -34,6 +34,11 @@ def find_anchors(pos, min_count=3, min_dis=20000, wlen=200000, res=10000):
 
     pos = np.asarray(pos, dtype=np.int64)
     base = int(pos.min()) - 1                       # extend one bin each side
+    # Dense signal over [min-1, max+1], same range as the reference's
+    # refidx list-comp (callers.py:602-603); scipy find_peaks/peak_widths
+    # require the dense form, and the range is bounded by chromosome bins
+    # (<= ~25K at 10Kb), so this O(range) allocation matches the reference
+    # while replacing its per-index Counter lookups with one bincount.
     signal = np.bincount(pos - base, minlength=int(pos.max()) - base + 2).astype(float)
 
     summits = find_peaks(signal, height=min_count, distance=min_dis)[0]

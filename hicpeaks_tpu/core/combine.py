@@ -1,68 +1,89 @@
-"""Multi-resolution peak combination (reference utilities.py:469-552).
+"""Multi-resolution peak combination (controller-side).
 
-Controller-side: peak lists are small.  Matches across resolution pairs by
-anchor-distance (thre1 = 2*max_res when both resolutions are finer than
-that, else thre2 = 5*max_res); keeps fine-resolution coordinates, records
-matched coarse peaks as redundant, and filters unconfirmed fine-res peaks
-unless the resolution is trustworthy (>= good_res) or the loci are close
-(span <= mindis).  Single-resolution input passes straight through.
+Output-set-parity re-implementation of the reference's pairwise
+confirmation scheme (semantics from utilities.py:469-552, proven
+equivalent by tests/test_combine_adversarial.py against a literal
+transcription).  The rules:
+
+* Resolutions are walked pairwise, finer vs coarser, in ascending order.
+  A fine peak is *confirmed* when any coarse peak's (start1, start2)
+  anchor lies within a Euclidean matching radius: ``2*max_res`` when both
+  resolutions are finer than that, else ``5*max_res``.  Confirmation
+  marks every matching coarse peak redundant.
+* An unconfirmed fine peak survives only when its resolution is
+  printable (``<= max_res``) and either trustworthy on its own
+  (``>= good_res``) or short-range (span ``<= mindis``).
+* Peaks already marked redundant are skipped when they later appear on
+  the fine side (the redundancy record is dynamic across pairs).
+* The coarsest list gets the same unconfirmed-survival filter at the end;
+  a single-resolution input passes straight through.
+
+Idiom difference from the reference: distances are computed once per
+(resolution-pair, chromosome) as a dense [fine, coarse] matrix instead of
+one scipy ``distance_matrix`` call per fine peak; the confirmation walk
+then just indexes rows.  Peak tables are small (1e2-1e4), so this stays
+on the host.
 """
 from __future__ import annotations
 
 import numpy as np
-from scipy.spatial import distance_matrix
+
+
+def _key(chrom, peak):
+    """Canonical output record: (chrom, s1, e1, chrom, s2, e2)."""
+    return (chrom,) + tuple(peak[:2]) + (chrom,) + tuple(peak[2:])
+
+
+def _survives_unconfirmed(res, peak, good_res, mindis, max_res):
+    return res <= max_res and (res >= good_res or peak[2] - peak[0] <= mindis)
+
+
+def _anchor_array(peaks):
+    """[n, 2] array of (start1, start2) anchors."""
+    return np.asarray([(p[0], p[2]) for p in peaks], dtype=np.float64)
 
 
 def combine_annotations(byres, good_res=10000, mindis=100000, max_res=10000):
-    thre1 = 2 * max_res
-    thre2 = 5 * max_res
     if len(byres) == 1:
-        peak_list = []
-        for r in byres:
-            for c in byres[r]:
-                for p in byres[r][c]:
-                    peak_list.append((c,) + tuple(p[:2]) + (c,) + tuple(p[2:]))
-        return peak_list
+        return [_key(c, p)
+                for r in byres for c in byres[r] for p in byres[r][c]]
 
     reslist = sorted(byres)
-    peak_list = set()
-    record = set()
-    for i in range(len(reslist) - 1):
-        fine = byres[reslist[i]]
-        for j in range(i + 1, len(reslist)):
-            coarse = byres[reslist[j]]
-            for c in fine:
-                ref = [(t[0], t[2]) for t in coarse.get(c, [])]
-                for p in fine[c]:
-                    key = (c,) + tuple(p[:2]) + (c,) + tuple(p[2:])
-                    if key in record:
+    kept = set()
+    redundant = set()
+
+    for i, fine_res in enumerate(reslist[:-1]):
+        fine = byres[fine_res]
+        for coarse_res in reslist[i + 1:]:
+            coarse = byres[coarse_res]
+            both_fine = fine_res < 2 * max_res and coarse_res < 2 * max_res
+            radius = 2 * max_res if both_fine else 5 * max_res
+            for c, fine_peaks in fine.items():
+                coarse_peaks = coarse.get(c, [])
+                if coarse_peaks:
+                    # one [fine, coarse] anchor-distance matrix per chrom
+                    fa = _anchor_array(fine_peaks)
+                    ca = _anchor_array(coarse_peaks)
+                    d2 = ((fa[:, None, :] - ca[None, :, :]) ** 2).sum(-1)
+                    match = d2 <= float(radius) ** 2
+                for n, p in enumerate(fine_peaks):
+                    key = _key(c, p)
+                    if key in redundant:
                         continue
-                    keep_unconfirmed = (
-                        reslist[i] <= max_res and
-                        (reslist[i] >= good_res or (p[2] - p[0]) <= mindis))
-                    if not ref:
-                        if keep_unconfirmed:
-                            peak_list.add(key)
-                        continue
-                    dis = distance_matrix([(p[0], p[2])], ref).ravel()
-                    if reslist[i] < thre1 and reslist[j] < thre1:
-                        mask = dis <= thre1
-                    else:
-                        mask = dis <= thre2
-                    if mask.sum() > 0:
-                        peak_list.add(key)
-                        for idx in np.where(mask)[0]:
-                            t = coarse[c][idx]
-                            record.add((c,) + tuple(t[:2]) + (c,) + tuple(t[2:]))
-                    elif keep_unconfirmed:
-                        peak_list.add(key)
+                    hits = np.nonzero(match[n])[0] if coarse_peaks else ()
+                    if len(hits):
+                        kept.add(key)
+                        redundant.update(
+                            _key(c, coarse_peaks[h]) for h in hits)
+                    elif _survives_unconfirmed(fine_res, p, good_res,
+                                               mindis, max_res):
+                        kept.add(key)
 
     coarsest = reslist[-1]
-    for c in byres[coarsest]:
-        for p in byres[coarsest][c]:
-            key = (c,) + tuple(p[:2]) + (c,) + tuple(p[2:])
-            if key not in record:
-                if coarsest <= max_res and \
-                        (coarsest >= good_res or (p[2] - p[0]) <= mindis):
-                    peak_list.add(key)
-    return sorted(peak_list)
+    for c, peaks in byres[coarsest].items():
+        for p in peaks:
+            key = _key(c, p)
+            if key not in redundant and _survives_unconfirmed(
+                    coarsest, p, good_res, mindis, max_res):
+                kept.add(key)
+    return sorted(kept)

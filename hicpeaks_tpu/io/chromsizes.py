@@ -1,8 +1,9 @@
 """Chromosome-size acquisition.
 
 Equivalent of the reference's ``readChromSizes`` / ``fetchChromSizes``
-(reference: hicpeaks/utilities.py:20-49) without the UCSC ``fetchChromSizes``
-subprocess dependency: sizes are always read from a 2-column file.
+(reference: hicpeaks/utilities.py:20-49).  The UCSC path is pure-Python
+HTTP against hgdownload (no ``fetchChromSizes`` subprocess dependency)
+and degrades to a clear error when the network is unreachable.
 """
 from __future__ import annotations
 
@@ -28,6 +29,46 @@ def read_chromsizes(chromsizes_file: str, chroms=('#', 'X')) -> dict:
             c, s = parse[0].lstrip('chr'), parse[1]
             if _label_selected(c, chroms):
                 chromsizes[c] = int(s)
+    return chromsizes
+
+
+UCSC_CHROMSIZES_URL = ('https://hgdownload.soe.ucsc.edu/goldenPath/'
+                       '{assembly}/bigZips/{assembly}.chrom.sizes')
+
+
+def fetch_chromsizes(assembly: str, chroms=('#', 'X'), timeout=30,
+                     _urlopen=None) -> dict:
+    """Fetch ``<assembly>.chrom.sizes`` from UCSC over plain HTTPS —
+    the subprocess-free equivalent of the reference's ``fetchChromSizes``
+    wrapper (utilities.py:20-36), line format and `chr`-strip/# selection
+    semantics identical to :func:`read_chromsizes`.
+
+    Raises ``ConnectionError`` with an actionable message (pointing at
+    ``--chromsizes-file``) when the host is unreachable, instead of the
+    reference's opaque FileNotFoundError from the missing UCSC binary.
+    """
+    from urllib.request import urlopen
+    from urllib.error import URLError
+
+    opener = _urlopen or urlopen
+    url = UCSC_CHROMSIZES_URL.format(assembly=assembly)
+    chroms = set(chroms) if chroms else set()
+    chromsizes = {}
+    try:
+        with opener(url, timeout=timeout) as resp:
+            body = resp.read()
+    except (URLError, OSError) as exc:
+        raise ConnectionError(
+            f'could not fetch chromosome sizes for {assembly!r} from UCSC '
+            f'({url}): {exc}. Provide --chromsizes-file to run offline.'
+        ) from exc
+    for line in body.decode().splitlines():
+        parse = line.rstrip().split()
+        if len(parse) < 2:
+            continue
+        c, s = parse[0].lstrip('chr'), parse[1]
+        if _label_selected(c, chroms):
+            chromsizes[c] = int(s)
     return chromsizes
 
 

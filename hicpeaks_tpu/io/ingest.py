@@ -23,7 +23,8 @@ import os
 import numpy as np
 from scipy import sparse
 
-from .chromsizes import read_chromsizes, sort_chromlabels, _label_selected
+from .chromsizes import (read_chromsizes, fetch_chromsizes, sort_chromlabels,
+                         _label_selected)
 from .coolerlite import binnify, create_cooler_file
 from .fastload import load_txt
 
@@ -86,7 +87,15 @@ def ingest(datasets, outfil, chromsizes_file, chroms=('#', 'X'),
     if os.path.exists(outfil):
         raise FileExistsError(f'Cooler file {outfil} already exists')
 
-    sizes = read_chromsizes(chromsizes_file, chroms)
+    # --chromsizes-file wins when given; otherwise fetch from UCSC by
+    # assembly name, matching the reference's precedence
+    # (utilities.py:186-193).
+    if chromsizes_file:
+        log.info('Read chromosome sizes from %s', chromsizes_file)
+        sizes = read_chromsizes(chromsizes_file, chroms)
+    else:
+        log.info('Fetch chromosome sizes from UCSC ...')
+        sizes = fetch_chromsizes(assembly, chroms)
     order = sort_chromlabels(sizes.keys())
     count_dtype = np.int32 if dtype == 'int' else np.float64
 
