@@ -62,17 +62,28 @@ def _selected_chroms(clr: CoolerLite, chroms):
 
 def _run(kind, cooler_uri, cfg, chroms, mesh, scan_backend, checkpoint_dir,
          dtype, profile_dir, shape_bucket=4096, max_retries=1):
+    import jax
+
     clr = CoolerLite(cooler_uri)
     results = {}
     ww_min = cfg.ww_min
     caller = engine.hiccups_chrom if kind == 'hiccups' else engine.bhfdr_chrom
     if checkpoint_dir:
         os.makedirs(checkpoint_dir, exist_ok=True)
+    # Multi-host: chromosome data-parallelism across jax.distributed
+    # processes (each runs its share on local devices; peak tables are
+    # all-gathered at the end so every process returns the full result).
+    my_chroms = _selected_chroms(clr, chroms)
+    nproc = jax.process_count()
+    if nproc > 1:
+        from .parallel.multihost import assign_chroms
+        my_chroms = assign_chroms(my_chroms, nproc, jax.process_index())
+        log.info('multi-host: process %d/%d handles chromosomes %s',
+                 jax.process_index(), nproc, my_chroms)
     if profile_dir:
-        import jax
         jax.profiler.start_trace(profile_dir)
     try:
-        for key in _selected_chroms(clr, chroms):
+        for key in my_chroms:
             label = key.lstrip('chr')
             if checkpoint_dir:
                 ck = _ckpt_path(checkpoint_dir, kind, label)
@@ -113,8 +124,10 @@ def _run(kind, cooler_uri, cfg, chroms, mesh, scan_backend, checkpoint_dir,
                 _save_ckpt(_ckpt_path(checkpoint_dir, kind, label), table)
     finally:
         if profile_dir:
-            import jax
             jax.profiler.stop_trace()
+    if nproc > 1:
+        from .parallel.multihost import gather_tables
+        results = gather_tables(results)
     return results
 
 

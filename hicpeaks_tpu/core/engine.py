@@ -77,6 +77,51 @@ def _score_device(raw, cband, IR, Bprod, bSV, bEV, cand, gap_drop, sig,
     return pval, cid, valid, qval, keep, scored, O, ICE, Fold, prod
 
 
+_KEEP_CAP = 1 << 17    # kept-pixel compaction bound (pre-clustering
+                       # significant candidates are 1e2-1e5 in practice)
+
+
+@functools.partial(jax.jit, static_argnames=('wi', 'L', 'chunked', 'o_cap',
+                                             'keep_cap'))
+def _score_device_compact(raw, cband, IR, Bprod, bSV, bEV, cand, gap_drop,
+                          sig, wi, L, chunked, o_cap=None,
+                          keep_cap=_KEEP_CAP):
+    """Device-BH scoring that compacts the kept pixels on device.
+
+    Dense [num_p, Lp] sheets never cross to the host (on tunneled TPU
+    runtimes each dense fetch is ~100MB+ of transfer per background —
+    the round-1 bottleneck): the keep mask is compacted to at most
+    ``keep_cap`` (d, x) indices + per-pixel stats, a few MB total.  The
+    dense EM*ratio product stays resident on device for the hiccups
+    postcheck, served by :func:`_gather_pairs`."""
+    E, O, ICE, Fold, scored, prod = score_ops.expected_observed(
+        raw, cband, IR, Bprod, bSV, bEV, wi, cand, L)
+    if chunked:
+        cid, rv, valid = score_ops.lambda_chunks(E, scored)
+        pval = jnp.where(valid, score_ops.poisson_sf(O, rv), 1.0)
+        if o_cap is not None:
+            qval = score_ops.chunk_bh_histogram(O, cid, valid, o_cap=o_cap)
+        else:
+            qval = score_ops.segmented_bh(pval, cid, valid)
+    else:
+        valid = scored
+        pval = jnp.where(scored, score_ops.poisson_sf(O, E), 1.0)
+        qval = score_ops.segmented_bh(pval, jnp.ones(E.shape, jnp.int32),
+                                      valid)
+    keep = scored & (qval <= sig) & ~gap_drop
+    cnt, d_idx, x_idx = score_ops.compact_mask(keep, keep_cap)
+    g = lambda a: a[d_idx, x_idx]
+    return (cnt, d_idx, x_idx,
+            g(O), g(ICE), g(Fold), g(pval), g(qval), prod)
+
+
+@jax.jit
+def _gather_pairs(a, d_idx, x_idx):
+    """Tiny device gather for postcheck lookups into a resident dense
+    array (index arrays are padded to bucketed sizes by the caller)."""
+    return a[d_idx, x_idx]
+
+
 def _score_one(raw, cband, IR, Bprod, bSV, bEV, wi, cand, L, sig, gap_drop,
                chunked: bool, bh_backend='auto', max_count=None):
     """Poisson scoring of one background; returns host-side kept-pixel
@@ -94,11 +139,24 @@ def _score_one(raw, cband, IR, Bprod, bSV, bEV, wi, cand, L, sig, gap_drop,
         o_cap = 256
         while o_cap < int(max_count):
             o_cap *= 2
-    with_bh = bh_backend == 'device'
+    if bh_backend == 'device':
+        out = _score_device_compact(
+            raw, cband, IR, Bprod, bSV, bEV, cand, gap_drop, sig,
+            wi=int(wi), L=int(L), chunked=chunked, o_cap=o_cap)
+        cnt, d_idx, x_idx, Ov, ICEv, Foldv, pv, qv = \
+            jax.device_get(out[:8])     # one bundled host transfer
+        n = int(cnt)
+        if n <= _KEEP_CAP:
+            d_idx, x_idx = d_idx[:n], x_idx[:n]
+            return dict(x=x_idx, y=x_idx + d_idx, O=Ov[:n], ICE=ICEv[:n],
+                        Fold=Foldv[:n], p=pv[:n], q=qv[:n], prod=out[8])
+        # cap overflow (pathological siglevel/data): dense fallback below
+
     pval, cid, valid, qval, keep, scored, O, ICE, Fold, prod = _score_device(
         raw, cband, IR, Bprod, bSV, bEV, cand, gap_drop, sig,
-        wi=int(wi), L=int(L), chunked=chunked, with_bh=with_bh, o_cap=o_cap)
-    if with_bh:
+        wi=int(wi), L=int(L), chunked=chunked,
+        with_bh=bh_backend == 'device', o_cap=o_cap)
+    if bh_backend == 'device':
         keep_np = np.asarray(keep)
         qval_np = np.asarray(qval)
     else:
@@ -263,10 +321,22 @@ def hiccups_chrom(bands: ChromBands, cfg: HiccupsConfig, mesh=None,
         postcheck = set(preDonuts) - set(preLL)
         if postcheck:
             # cEM here is the Y background's expected matrix (the reference
-            # reuses the loop variable, callers.py:329-331)
-            prodY = np.asarray(rY['prod'])
-            for ci, cj in postcheck:
-                if prodY[cj - ci, ci] == 0:
+            # reuses the loop variable, callers.py:329-331).  rY['prod'] is
+            # resident on device; gather just the postcheck entries instead
+            # of fetching the dense sheet (bucketed index padding keeps the
+            # compile count low).
+            pc = list(postcheck)
+            cap = 128
+            while cap < len(pc):
+                cap *= 2
+            di = np.zeros(cap, np.int32)
+            xi = np.zeros(cap, np.int32)
+            di[:len(pc)] = [cj - ci for ci, cj in pc]
+            xi[:len(pc)] = [ci for ci, _ in pc]
+            vals = np.asarray(_gather_pairs(rY['prod'], jnp.asarray(di),
+                                            jnp.asarray(xi)))[:len(pc)]
+            for (ci, cj), v in zip(pc, vals):
+                if v == 0:
                     commonPos.add((ci, cj))
 
         for key in commonPos:

@@ -185,6 +185,26 @@ def _seg_suffix_min(vals, first):
     return out.reshape(-1)[::-1][B * C - n:]
 
 
+def compact_mask(keep, cap):
+    """Row-major indices of the first ``cap`` True cells of a [R, C] mask.
+
+    Avoids ``jnp.nonzero`` whose lowering — a flat 1-D cumsum plus a
+    duplicate-index scatter bincount — has size-dependent compile cost and
+    stalls the tunneled TPU runtime (hardware-probed).  This form (a
+    two-level reshaped cumsum + vectorized binary search) compiles in
+    seconds and returned bit-exact indices in the same probe.
+
+    Returns (true_count, row_idx, col_idx); entries past ``true_count``
+    point at the last cell and must be sliced off by the caller.
+    """
+    R, C = keep.shape
+    csum = _cumsum_2l(keep.reshape(-1).astype(jnp.int32))
+    cnt = csum[-1]
+    targets = jnp.arange(1, cap + 1, dtype=jnp.int32)
+    pos = jnp.minimum(jnp.searchsorted(csum, targets, side='left'), R * C - 1)
+    return cnt, (pos // C).astype(jnp.int32), (pos % C).astype(jnp.int32)
+
+
 def segmented_bh(pvals, seg, valid):
     """Benjamini-Hochberg q-values within each segment of ``seg`` (int ids),
     restricted to ``valid``; invalid entries get q = 1.
