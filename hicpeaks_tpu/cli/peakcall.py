@@ -30,6 +30,22 @@ def _common_data_args(parser):
     return group_1
 
 
+def _engine_args(parser):
+    g = parser.add_argument_group(title='TPU Engine:')
+    g.add_argument('--scan-backend', default='auto',
+                   choices=['auto', 'pallas', 'jnp', 'validate',
+                            'pallas-interpret'],
+                   help='Window-capture backend. "validate" runs pallas and '
+                   'jnp and cross-checks them (integrity mode).')
+    g.add_argument('--bh-backend', default='auto',
+                   choices=['auto', 'host', 'device'],
+                   help='Where the Benjamini-Hochberg step runs.')
+    g.add_argument('--shape-bucket', type=int, default=4096,
+                   help='Pad chromosome band length to a multiple of this so '
+                   'compiled programs are shared across chromosomes.')
+    return g
+
+
 def hiccups_main(argv=None):
     parser = argparse.ArgumentParser(
         usage='%(prog)s <-O output> [options]',
@@ -73,6 +89,7 @@ def hiccups_main(argv=None):
     g.add_argument('--checkpoint-dir', default=None,
                    help='Persist per-chromosome peak tables here and resume '
                    'finished chromosomes on rerun.')
+    _engine_args(parser)
     args = parser.parse_args(argv if argv is not None else sys.argv[1:])
     if args.output is None:
         parser.print_help()
@@ -117,7 +134,10 @@ def hiccups_main(argv=None):
     res = CoolerLite(args.path).binsize
     logger.info('Calling Peaks ...')
     results = call_hiccups(args.path, cfg, chroms=args.chroms, mesh=mesh,
-                           checkpoint_dir=args.checkpoint_dir)
+                           checkpoint_dir=args.checkpoint_dir,
+                           scan_backend=args.scan_backend,
+                           bh_backend=args.bh_backend,
+                           shape_bucket=args.shape_bucket)
     with open(args.output, 'w') as out:
         for label, table in results.items():
             write_hiccups_bedpe(out, label, res, table)
@@ -153,6 +173,7 @@ def bhfdr_main(argv=None):
     g.add_argument('--checkpoint-dir', default=None,
                    help='Persist per-chromosome peak tables here and resume '
                    'finished chromosomes on rerun.')
+    _engine_args(parser)
     args = parser.parse_args(argv if argv is not None else sys.argv[1:])
     if args.output is None:
         parser.print_help()
@@ -186,7 +207,10 @@ def bhfdr_main(argv=None):
     res = CoolerLite(args.path).binsize
     logger.info('Calling Peaks ...')
     results = call_bhfdr(args.path, cfg, chroms=args.chroms, mesh=mesh,
-                         checkpoint_dir=args.checkpoint_dir)
+                         checkpoint_dir=args.checkpoint_dir,
+                         scan_backend=args.scan_backend,
+                         bh_backend=args.bh_backend,
+                         shape_bucket=args.shape_bucket)
     with open(args.output, 'w') as out:
         for label, table in results.items():
             write_bhfdr_bedpe(out, label, res, table)
