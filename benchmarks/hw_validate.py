@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Hardware integrity run: Pallas <-> jnp cross-validation on the real TPU
+plus an f32-engine vs f64-oracle table comparison.
+
+Round-1 VERDICT weak #3: the ``scan_backend='validate'`` integrity mode
+(core/engine.py) had only ever executed in Pallas interpret mode on CPU;
+Mosaic lowering differences (pltpu.roll shifts, DMA tiling) are exactly
+the bug class interpret mode cannot see.  This script runs the full
+hiccups pipeline with validate mode on the TPU — every captured window
+sum/count tensor from the Mosaic kernel is asserted allclose against the
+jnp scan on hardware — then diffs the engine's float32 peak table against
+the float64 NumPy oracle (tests/oracle/reference_impl.py).
+
+Writes benchmarks/HW_VALIDATE_r02.json.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+OUT_PATH = os.path.join(REPO, 'benchmarks', 'HW_VALIDATE_r02.json')
+
+
+def log(msg):
+    print(f'[hw-validate] {msg}', file=sys.stderr, flush=True)
+
+
+def _watchdog(seconds):
+    import signal
+    import threading
+
+    def fire(*_):
+        log(f'WATCHDOG after {seconds}s — tunnel unresponsive')
+        os._exit(2)
+
+    signal.signal(signal.SIGALRM, fire)
+    signal.alarm(seconds)
+    threading.Timer(seconds + 60, fire).start()
+
+
+def main():
+    _watchdog(int(os.environ.get('HV_TIMEOUT', 3000)))
+    import tempfile
+
+    import jax
+
+    sys.path.insert(0, os.path.join(REPO, 'tests'))
+    from hicpeaks_tpu.core import engine
+    from hicpeaks_tpu.core.config import HiccupsConfig
+    from hicpeaks_tpu.io.coolerlite import CoolerLite
+    from hicpeaks_tpu.io.synth import synthetic_cooler
+    from hicpeaks_tpu.ops.band import bands_from_cooler
+    from oracle import reference_impl as oracle
+    from oracle.prep import prepare_chrom
+
+    dev = jax.devices()[0]
+    log(f'device: {dev} ({jax.default_backend()})')
+
+    with tempfile.TemporaryDirectory() as td:
+        uri, _ = synthetic_cooler(os.path.join(td, 'hw.cool'), n_bins=2048,
+                                  res=10000, seed=23, n_loops=60, depth=60.0)
+        clr = CoolerLite(uri)
+        cfg = HiccupsConfig(pw=(1, 2), ww=(3, 5), maxww=10, siglevel=0.05,
+                            sumq=0.01, maxapart=2000000,
+                            min_marginal_peaks=2, min_local_reads=16,
+                            only_anchors=False)
+
+        bands = bands_from_cooler(clr, '21', cfg.maxapart, cfg.maxww,
+                                  min(cfg.ww), dtype=np.float32)
+        t0 = time.time()
+        got = engine.hiccups_chrom(bands, cfg, scan_backend='validate')
+        t_validate = time.time() - t0
+        log(f'validate-mode hiccups (pallas+jnp cross-checked on '
+            f'{jax.default_backend()}): {t_validate:.1f}s, {len(got)} peaks')
+
+        t0 = time.time()
+        d = prepare_chrom(clr, '21', cfg.maxapart, cfg.maxww, min(cfg.ww))
+        want = oracle.hiccups(d['Md'], d['cMd'], d['B'], d['B'], d['IR'],
+                              d['chromLen'], d['num'], pw=cfg.pw, ww=cfg.ww,
+                              sig=cfg.siglevel, sumq=cfg.sumq,
+                              maxww=cfg.maxww, maxapart=cfg.maxapart,
+                              res=clr.binsize, min_marginal_peaks=2,
+                              min_local_reads=16, onlyanchor=False)
+        t_oracle = time.time() - t0
+        log(f'float64 oracle: {t_oracle:.1f}s, {len(want)} peaks')
+
+    common = set(got) & set(want)
+    max_rel = 0.0
+    geometry_ok = True
+    for key in common:
+        g = np.asarray(got[key][3:], float)
+        w = np.asarray(want[key][3:], float)
+        geometry_ok &= tuple(got[key][:3]) == tuple(want[key][:3])
+        denom = np.maximum(np.abs(w), 1e-11)
+        max_rel = max(max_rel, float(np.max(np.abs(g - w) / denom)))
+    union = len(set(got) | set(want))
+    result = {
+        'backend': jax.default_backend(),
+        'device': str(dev),
+        'config': {'L': 2048, 'res': 10000, 'pw': [1, 2], 'ww': [3, 5],
+                   'maxww': 10, 'maxapart': 2000000},
+        'pallas_vs_jnp': 'PASS (allclose rtol=1e-5 on all capture tensors, '
+                         'both (pw,ww) pairs, asserted in validate mode)',
+        'validate_wall_s': round(t_validate, 1),
+        'engine_peaks': len(got),
+        'oracle_peaks': len(want),
+        'loci_jaccard': round(len(common) / union, 4) if union else 1.0,
+        'geometry_identical_on_common': bool(geometry_ok),
+        'max_rel_stat_diff_f32_vs_f64': max_rel,
+    }
+    with open(OUT_PATH, 'w') as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result), flush=True)
+    os._exit(0)
+
+
+if __name__ == '__main__':
+    try:
+        main()
+    except Exception:
+        import traceback
+        traceback.print_exc(file=sys.stderr)
+        os._exit(3)
