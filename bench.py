@@ -92,40 +92,38 @@ def main():
     p_list = tuple(sorted(set(pw)))
 
     num_p = bands.raw.shape[0]
-    Bprod_np = score_ops.bias_product_host(bands.bias, num_p).astype(np.float32)
-    gap = bands.cband.sum(axis=0) == 0
-    gap_drop_np = score_ops.gap_reject_host(gap, num_p, bands.L, min(ww))
-    col = np.arange(bands.raw.shape[1])[None, :]
-    drow = np.arange(num_p)[:, None]
-    eband_np = np.where(col < (bands.L - drow),
-                        bands.IR[:, None], 0.0).astype(np.float32)
-    cand_np = (bands.raw != 0) & (drow >= min(ww)) & \
-        (drow <= maxapart // res)
-    n_cand = int(cand_np.sum())
+    n_cand = bands.candidate_total(min(ww), maxapart // res)
     o_cap = max(256, int(-(-int(bands.raw.max()) // 128) * 128))
 
-    # transfers only — zero eager device compute before the first jit
+    # transfers only — one raw slab + O(L) vectors (the production
+    # engine._prep_chrom staging); every dense sheet is derived on device
     raw = jnp.asarray(bands.raw)
-    cband = jnp.asarray(bands.cband)
+    w0 = jnp.asarray(bands.w0)
+    bias = jnp.asarray(bands.bias)
     IR = jnp.asarray(bands.IR)
-    Bprod = jnp.asarray(Bprod_np)
-    gap_drop = jnp.asarray(gap_drop_np)
-    eband = jnp.asarray(eband_np)
-    cand = jnp.asarray(cand_np)
+    gap = jnp.asarray(bands.gap)
     allowed = jnp.asarray(np.ones(len(plan), bool))
-    jax.block_until_ready((raw, cband, eband, Bprod, gap_drop, cand))
+    jax.block_until_ready((raw, w0, bias, IR, gap))
     log(f'arrays staged: {n_cand} candidate pixels')
 
-    # --- stage 1: pass A (freeze counts; jnp scan on raw quadrants) ---
+    if backend == 'pallas':
+        from hicpeaks_tpu.ops.pallas_scan import (scan_pass_a_pallas,
+                                                  scan_pass_b_pallas)
+
+    # --- stage 1: device sheets + pass A (freeze counts) ---
     t0 = time.time()
-    counts = scan_ops.scan_pass_a(raw, cand, plan, p_list, 16)
+    cband, eband, Bprod, gap_drop, cand = score_ops.build_sheets_device(
+        raw, w0, bias, IR, gap, min(ww), bands.L, min(ww),
+        maxapart // res, min(ww))
+    if backend == 'pallas':
+        counts = scan_pass_a_pallas(raw, cand, plan, p_list, 16)
+    else:
+        counts = scan_ops.scan_pass_a(raw, cand, plan, p_list, 16)
     jax.block_until_ready(counts)
-    log(f'pass A compiled+ran in {time.time() - t0:.1f}s')
+    log(f'sheets + pass A ({backend}) compiled+ran in {time.time() - t0:.1f}s')
 
     # --- stage 2: capture pass ---
     if backend == 'pallas':
-        from hicpeaks_tpu.ops.pallas_scan import scan_pass_b_pallas
-
         def capture():
             return scan_pass_b_pallas(raw, cband, eband, cand, allowed,
                                       plan, p_list, 16)
@@ -143,15 +141,22 @@ def main():
     # them as HLO constants and constant-folding multiplies compile time);
     # a scalar chain serializes iterations so the async tunneled runtime
     # cannot overlap or dedupe identical executions; no eager ops in the
-    # loop (each eager op is a remote-compile round trip). ---
+    # loop (each eager op is a remote-compile round trip).  Sheet
+    # derivation (balanced/expected bands, bias product, gap windows,
+    # candidates) is inside the program — the production per-chromosome
+    # step, minus host transfer/post-processing. ---
     @jax.jit
-    def full(eps, raw, cband, eband, IR, Bprod, cand, gap_drop, allowed):
+    def full(eps, raw, w0, bias, IR, gap, allowed):
         raw_i = raw + eps
-        counts = scan_ops.scan_pass_a(raw_i, cand, plan, p_list, 16)
+        cband, eband, Bprod, gap_drop, cand = score_ops.build_sheets_device(
+            raw_i, w0, bias, IR, gap, min(ww), bands.L, min(ww),
+            maxapart // res, min(ww))
         if backend == 'pallas':
+            counts = scan_pass_a_pallas(raw_i, cand, plan, p_list, 16)
             outs2 = scan_pass_b_pallas(raw_i, cband, eband, cand, allowed,
                                        plan, p_list, 16)
         else:
+            counts = scan_ops.scan_pass_a(raw_i, cand, plan, p_list, 16)
             outs2 = scan_ops.scan_pass_b(raw_i, cband, eband, cand, allowed,
                                          plan, p_list, 16)[2]
         KS, KE, YS, YE = outs2[pw[0]]
@@ -169,7 +174,7 @@ def main():
             acc = acc + qval.sum().astype(jnp.float32)
         return acc * 0.0, n_keep
 
-    args = (raw, cband, eband, IR, Bprod, cand, gap_drop, allowed)
+    args = (raw, w0, bias, IR, gap, allowed)
     t0 = time.time()
     eps = jnp.float32(0.0)
     chain, n_keep = full(eps, *args)

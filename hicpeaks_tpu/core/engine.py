@@ -18,28 +18,23 @@ from .clustering import local_clustering
 from .config import BHFDRConfig, HiccupsConfig
 
 
-def _candidates(raw_np, num_p, d_lo, d_hi):
-    """Candidate mask, staged in numpy (no eager device dispatch — every
-    eager op costs a remote-compile round trip on tunneled TPU backends)."""
-    drow = np.arange(num_p)[:, None]
-    return (raw_np != 0) & (drow >= d_lo) & (drow <= d_hi)
-
-
-def _band_arrays(bands: ChromBands, mesh=None):
-    num_p = bands.raw.shape[0]
-    col = np.arange(bands.raw.shape[1])[None, :]
-    drow = np.arange(num_p)[:, None]
-    eband_np = np.where(col < (bands.L - drow),
-                        bands.IR[:, None], 0.0).astype(bands.raw.dtype)
+def _prep_chrom(bands: ChromBands, d_lo, d_hi, gap_s, mesh=None):
+    """Transfer one raw slab + O(L) vectors, then derive every dense sheet
+    (balanced band, expected band, bias product, gap-reject, candidate
+    mask) on device in one jit (ops/score.build_sheets_device).  The
+    round-1 path built the sheets on the host and shipped ~5 slabs per
+    chromosome — host→device transfer was the genome-scale bottleneck
+    (benchmarks/STAGE_PROFILE_r02.json)."""
     raw = jnp.asarray(bands.raw)
-    cband = jnp.asarray(bands.cband)
-    eband = jnp.asarray(eband_np)
+    cband, eband, Bprod, gap_drop, cand = score_ops.build_sheets_device(
+        raw, jnp.asarray(bands.w0), jnp.asarray(bands.bias),
+        jnp.asarray(bands.IR), jnp.asarray(bands.gap),
+        bands.ww_min, bands.L, d_lo, d_hi, gap_s)
     IR = jnp.asarray(bands.IR)
-    bias = jnp.asarray(bands.bias)
     if mesh is not None:
         from ..parallel.tiles import shard_band
         raw, cband, eband = (shard_band(a, mesh) for a in (raw, cband, eband))
-    return raw, cband, eband, IR, bias
+    return raw, cband, eband, IR, Bprod, gap_drop, cand
 
 
 import functools
@@ -171,6 +166,31 @@ def _score_one(raw, cband, IR, Bprod, bSV, bEV, wi, cand, L, sig, gap_drop,
                 p=take(pval), q=qval_np[d_idx, x_idx], prod=prod)
 
 
+def _count_pass(raw, cand, plan, p_list, thr, mesh, scan_backend):
+    """Dispatch the freeze-count pass (pass A): sharded jnp scan on a
+    mesh, fused Pallas count kernel on a single accelerator ('auto' picks
+    Pallas on TPU), plain jnp otherwise."""
+    import jax
+    if mesh is not None:
+        from ..parallel import tiles
+        return tiles.scan_pass_a_sharded(raw, cand, plan, p_list, thr, mesh)
+    if scan_backend == 'auto':
+        scan_backend = 'pallas' if jax.default_backend() == 'tpu' else 'jnp'
+    if scan_backend == 'validate':
+        from ..ops.pallas_scan import scan_pass_a_pallas
+        a = scan_pass_a_pallas(raw, cand, plan, p_list, thr,
+                               interpret=jax.default_backend() != 'tpu')
+        b = scan_ops.scan_pass_a(raw, cand, plan, p_list, thr)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg='pass A backend mismatch')
+        return a
+    if scan_backend in ('pallas', 'pallas-interpret'):
+        from ..ops.pallas_scan import scan_pass_a_pallas
+        return scan_pass_a_pallas(raw, cand, plan, p_list, thr,
+                                  interpret=scan_backend == 'pallas-interpret')
+    return scan_ops.scan_pass_a(raw, cand, plan, p_list, thr)
+
+
 def _capture_pass(raw, cband, eband, cand, allowed, plan, p_list, thr, mesh,
                   scan_backend):
     """Dispatch the capture pass: sharded jnp scan on a mesh, fused Pallas
@@ -220,28 +240,19 @@ def bhfdr_chrom(bands: ChromBands, cfg: BHFDRConfig, mesh=None,
     exchange and psum-reduced freeze counts."""
     res = bands.res
     L, num = bands.L, bands.num
-    raw, cband, eband, IR, bias = _band_arrays(bands, mesh)
-    num_p = raw.shape[0]
+    raw, cband, eband, IR, Bprod, gap_drop, cand = _prep_chrom(
+        bands, cfg.ww, cfg.maxapart // res, cfg.ww, mesh)
 
     plan = tuple(poolplan.bhfdr_pool_plan(cfg.pw, cfg.ww, cfg.maxww))
-    cand_np = _candidates(bands.raw, num_p, cfg.ww, cfg.maxapart // res)
-    total = int(cand_np.sum())
-    cand = jnp.asarray(cand_np)
+    total = bands.candidate_total(cfg.ww, cfg.maxapart // res)
 
-    if mesh is None:
-        counts = scan_ops.scan_pass_a(raw, cand, plan, (cfg.pw,), 16)
-    else:
-        from ..parallel import tiles
-        counts = tiles.scan_pass_a_sharded(raw, cand, plan, (cfg.pw,), 16, mesh)
+    counts = _count_pass(raw, cand, plan, (cfg.pw,), 16, mesh, scan_backend)
     decision = poolplan.emulate_freeze_bhfdr(plan, np.asarray(counts), total)
     allowed = jnp.asarray(decision.allowed)
     outs = _capture_pass(raw, cband, eband, cand, allowed, plan,
                          (cfg.pw,), 16, mesh, scan_backend)
     KS, KE, _, _ = outs[cfg.pw]
 
-    gap = bands.cband.sum(axis=0) == 0
-    gap_drop = jnp.asarray(score_ops.gap_reject_host(gap, num_p, L, cfg.ww))
-    Bprod = jnp.asarray(score_ops.bias_product_host(bands.bias, num_p))
     r = _score_one(raw, cband, IR, Bprod, KS, KE, cfg.ww, cand, L,
                    cfg.siglevel, gap_drop, chunked=False,
                    bh_backend=bh_backend)
@@ -269,32 +280,22 @@ def hiccups_chrom(bands: ChromBands, cfg: HiccupsConfig, mesh=None,
     across devices (halo exchange + psum'd freeze counts)."""
     res = bands.res
     L, num = bands.L, bands.num
-    raw, cband, eband, IR, bias = _band_arrays(bands, mesh)
-    num_p = raw.shape[0]
     pw, ww = tuple(cfg.pw), tuple(cfg.ww)
+    raw, cband, eband, IR, Bprod, gap_drop, cand = _prep_chrom(
+        bands, min(ww), cfg.maxapart // res, min(ww), mesh)
 
     plan = tuple(poolplan.hiccups_pool_plan(pw, ww, cfg.maxww))
     p_list = tuple(sorted(set(pw)))
-    cand_np = _candidates(bands.raw, num_p, min(ww), cfg.maxapart // res)
-    total = int(cand_np.sum())
-    cand = jnp.asarray(cand_np)
+    total = bands.candidate_total(min(ww), cfg.maxapart // res)
 
-    if mesh is None:
-        counts = scan_ops.scan_pass_a(raw, cand, plan, p_list,
-                                      cfg.min_local_reads)
-    else:
-        from ..parallel import tiles
-        counts = tiles.scan_pass_a_sharded(raw, cand, plan, p_list,
-                                           cfg.min_local_reads, mesh)
+    counts = _count_pass(raw, cand, plan, p_list, cfg.min_local_reads,
+                         mesh, scan_backend)
     decision = poolplan.emulate_freeze_hiccups(plan, np.asarray(counts),
                                                total, ww)
     allowed = jnp.asarray(decision.allowed)
     outs = _capture_pass(raw, cband, eband, cand, allowed, plan, p_list,
                          cfg.min_local_reads, mesh, scan_backend)
 
-    gap = bands.cband.sum(axis=0) == 0
-    gap_drop = jnp.asarray(score_ops.gap_reject_host(gap, num_p, L, min(ww)))
-    Bprod = jnp.asarray(score_ops.bias_product_host(bands.bias, num_p))
     max_count = float(bands.raw.max())
 
     pixel_table = {}

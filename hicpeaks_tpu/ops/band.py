@@ -6,18 +6,25 @@ scipy sparse matrices (scripts/pyHICCUPS:146-159) with dense band tensors
 
 * ``raw``   — raw counts, diagonals 0..num-1            (reference ``M``)
 * ``cband`` — ICE-balanced counts, diagonals ww..num-1, NaN zeroed
-              (reference ``cM``)
+              (reference ``cM``); *lazy* — the production engine never
+              materializes it on the host, it is rebuilt on device as
+              ``raw * w0[x] * w0[y]`` (ops/score.build_sheets_device)
 * ``IR``    — per-diagonal NaN-aware mean of the balanced matrix, the
               distance-decay expected (scripts/pyHICCUPS:150-158)
 * ``bias``  — 1/weight with invalid bins zeroed (scripts/pyHICCUPS:163-166)
+* ``w0``    — weights with invalid bins zeroed (the device cband factor)
+* ``gap``   — per-bin gap flag: balanced band column-sum == 0
+              (reference gap bins, callers.py:238)
 
 The NaN-mean semantics mirror the sparse fetch exactly: an entry is "NaN"
 only where a *nonzero raw pixel* meets an invalid weight; structural zeros
 count toward the mean's denominator.
+
+Only ``raw`` is a dense host array; everything else the engine needs is a
+vector, so the host→device transfer per chromosome is one slab + O(L)
+vectors (the round-1 path shipped five dense slabs).
 """
 from __future__ import annotations
-
-from dataclasses import dataclass
 
 import numpy as np
 
@@ -26,21 +33,52 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
-@dataclass
 class ChromBands:
-    raw: np.ndarray        # [num_p, Lp]
-    cband: np.ndarray      # [num_p, Lp]
-    IR: np.ndarray         # [num_p]
-    bias: np.ndarray       # [Lp]
-    L: int                 # true chromosome length in bins
-    num: int               # true number of diagonals kept
-    res: int
-    chrom: str = ''
+    """Host-side per-chromosome bundle.
+
+    ``cband`` is a lazy property: tests, the float64 oracle, and the
+    benchmark's explicit-transfer mode still read the dense balanced band,
+    but the production engine path never touches it (it derives the same
+    values on device from ``raw`` and ``w0``).
+    """
+
+    def __init__(self, raw, IR, bias, w0, gap, L, num, res, chrom='',
+                 ww_min=0, sparse=None, cband=None):
+        self.raw = raw          # [num_p, Lp] dtype
+        self.IR = IR            # [num_p]
+        self.bias = bias        # [Lp]
+        self.w0 = w0            # [Lp]
+        self.gap = gap          # [Lp] bool
+        self.L = L
+        self.num = num
+        self.res = res
+        self.chrom = chrom
+        self.ww_min = ww_min
+        self._sparse = sparse   # (dd, b1, cvals, ct) for lazy rebuilds
+        self._cband = cband
+
+    @property
+    def cband(self):
+        if self._cband is None:
+            dd, b1, cvals, _ = self._sparse
+            cb = np.zeros(self.raw.shape, np.float64)
+            cb[dd, b1] = cvals
+            cb[:self.ww_min, :] = 0.0
+            self._cband = cb.astype(self.raw.dtype)
+        return self._cband
+
+    def candidate_total(self, d_lo, d_hi) -> int:
+        """Host count of candidate pixels (nonzero raw, d_lo <= d <= d_hi)
+        — the freeze emulation's global total (callers.py:101-104) without
+        materializing the dense mask."""
+        dd, _, _, ct = self._sparse
+        return int(np.count_nonzero((dd >= d_lo) & (dd <= d_hi) & (ct != 0)))
 
 
 def build_bands(bin1, bin2, count, weights, L, num, ww_min, res, chrom='',
                 dtype=np.float32, lane_pad=128, sublane_pad=8) -> ChromBands:
-    """Scatter upper-triangle pixels into zero-padded band tensors.
+    """Scatter upper-triangle pixels into a zero-padded raw band tensor
+    and derive the per-diagonal/per-bin vectors from the sparse arrays.
 
     Shapes are padded to TPU-friendly multiples; padding is semantically
     transparent because all engine reads treat out-of-band positions as
@@ -54,35 +92,42 @@ def build_bands(bin1, bin2, count, weights, L, num, ww_min, res, chrom='',
     sel = (d >= 0) & (d < num)
     b1, dd, ct = bin1[sel], d[sel], count[sel].astype(np.float64)
 
-    raw = np.zeros((num_p, Lp), np.float64)
+    raw = np.zeros((num_p, Lp), dtype)
     raw[dd, b1] = ct
 
     w = np.asarray(weights, np.float64)
     wprod = w[b1] * w[b1 + dd]
-    cvals = ct * wprod
     nanmask_vals = np.isnan(wprod)
+    cvals = np.where(nanmask_vals, 0.0, ct * wprod)
 
-    cband = np.zeros((num_p, Lp), np.float64)
-    cband[dd, b1] = np.where(nanmask_vals, 0.0, cvals)
-
-    # NaN-aware per-diagonal means over the true extent [0, L-d)
-    nan_counts = np.zeros(num_p, np.int64)
-    np.add.at(nan_counts, dd[nanmask_vals], 1)
+    # NaN-aware per-diagonal means over the true extent [0, L-d):
+    # sums/counts via O(nnz) bincounts — no dense balanced band needed.
+    nan_counts = np.bincount(dd[nanmask_vals], minlength=num_p)[:num_p]
+    csum = np.bincount(dd, weights=cvals, minlength=num_p)[:num_p]
     diag_len = np.maximum(L - np.arange(num_p), 0)
     denom = diag_len - nan_counts
     with np.errstate(invalid='ignore', divide='ignore'):
-        IR = cband.sum(axis=1) / denom
+        IR = csum / denom
     IR[:ww_min] = 0.0
     IR[num:] = 0.0
-    cband[:ww_min, :] = 0.0
+
+    # gap bins: zero columns of the balanced band (rows >= ww_min), the
+    # reference's zero rows of cM (callers.py:238).  cvals >= 0, so a
+    # column sum is zero iff every contribution is zero.
+    in_rows = dd >= ww_min
+    colsum = np.bincount(b1[in_rows], weights=cvals[in_rows],
+                         minlength=Lp)[:Lp]
+    gap = colsum == 0
 
     valid = ~((w == 0) | np.isnan(w))
     bias = np.zeros(Lp, np.float64)
     bias[:L][valid] = 1.0 / w[valid]
+    w0 = np.zeros(Lp, np.float64)
+    w0[:L][valid] = w[valid]
 
-    return ChromBands(raw=raw.astype(dtype), cband=cband.astype(dtype),
-                      IR=IR.astype(dtype), bias=bias.astype(dtype),
-                      L=L, num=num, res=res, chrom=chrom)
+    return ChromBands(raw=raw, IR=IR.astype(dtype), bias=bias.astype(dtype),
+                      w0=w0.astype(dtype), gap=gap, L=L, num=num, res=res,
+                      chrom=chrom, ww_min=ww_min, sparse=(dd, b1, cvals, ct))
 
 
 def bands_from_cooler(clr, chrom, maxapart, maxww, ww_min, dtype=np.float32,

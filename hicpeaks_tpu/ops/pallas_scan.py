@@ -41,13 +41,12 @@ def _shift2_roll(a, dd, dx):
     return out
 
 
-def _choose_tiles(num_p, Lp, Mr, Mc, n_p, vmem_budget=12 * 2 ** 20):
+def _choose_tiles(num_p, Lp, Mr, Mc, live_arrays, vmem_budget=12 * 2 ** 20):
     """Pick (ROW_TILE, COL_TILE) minimizing halo-overhead subject to the
-    kernel's VMEM live set fitting.  The live-array count is calibrated
-    against Mosaic's observed stack allocation (~47 slab-sized buffers for
-    a single-p plan: bands + line states + accumulators + captures + DMA
-    double-buffering slop)."""
-    live_arrays = 44 + 8 * n_p
+    kernel's VMEM live set fitting.  ``live_arrays`` is the caller's
+    slab-sized buffer count, calibrated against Mosaic's observed stack
+    allocation (pass B: ~47 for a single-p plan — bands + line states +
+    accumulators + captures + DMA double-buffering slop)."""
     best = None
     for col in (1024, 768, 512, 384, 256, 128):
         for row in (256, 192, 128, 96, 64, 48, 32, 16, 8):
@@ -70,6 +69,91 @@ def _pad_to(x, mult):
 
 @functools.partial(jax.jit, static_argnames=('plan', 'p_list', 'thr',
                                              'interpret'))
+def scan_pass_a_pallas(raw, cand_mask, plan, p_list, thr, interpret=False):
+    """Fused freeze-count pass: per-entry freshly-frozen pixel counts.
+
+    Drop-in replacement for scan_ops.scan_pass_a.  Pass A only replays the
+    raw lower-left 'Reads' state (reference callers.py:203-232), so the
+    kernel DMAs two slabs (raw, candidate mask) per tile, runs the shared
+    scan math with Q-only ring states, reduces each entry's newly-frozen
+    mask over the tile interior, and accumulates the per-entry counts in
+    SMEM scalars across the (sequential) grid.  One HBM read of the band
+    instead of the jnp path's ~O(plan) full-array passes."""
+    num_p, Lp = raw.shape
+    M = scan_ops._row_margin(plan)
+    Mr = _pad_to(M, 8)
+    Mc = _pad_to(M, 128)
+    n_e = len(plan)
+    # live set: 2 slabs + 2 Q-side line states + reads accumulator +
+    # per-p captured masks + shift temporaries (calibrated vs pass B's 44)
+    R, T = _choose_tiles(num_p, Lp, Mr, Mc, 12 + 2 * len(p_list))
+
+    num_pad = _pad_to(num_p, R)
+    col_pad = _pad_to(Lp, T)
+    grid = (num_pad // R, col_pad // T)
+
+    def prep(a):
+        return jnp.pad(a, ((Mr, Mr + num_pad - num_p),
+                           (Mc, Mc + col_pad - Lp)))
+
+    raw_p = prep(raw)
+    cand_p = prep(cand_mask.astype(raw.dtype))
+    slab_shape = (R + 2 * Mr, T + 2 * Mc)
+    dtype = raw.dtype
+
+    def kernel(raw_ref, cand_ref, out_ref):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+
+        @pl.when((i == 0) & (j == 0))
+        def _init():
+            for k in range(n_e):
+                out_ref[k] = 0
+
+        def body(s_raw, s_cand, sems):
+            copies = []
+            for k, (src, dst) in enumerate(((raw_ref, s_raw),
+                                            (cand_ref, s_cand))):
+                dma = pltpu.make_async_copy(
+                    src.at[pl.ds(i * R, R + 2 * Mr),
+                           pl.ds(j * T, T + 2 * Mc)],
+                    dst, sems.at[k])
+                dma.start()
+                copies.append(dma)
+            for dma in copies:
+                dma.wait()
+
+            rows = jax.lax.broadcasted_iota(jnp.int32, slab_shape, 0)
+            cols = jax.lax.broadcasted_iota(jnp.int32, slab_shape, 1)
+            interior = ((rows >= Mr) & (rows < Mr + R) &
+                        (cols >= Mc) & (cols < Mc + T))
+            cand = (s_cand[:] != 0) & interior
+
+            counts = scan_ops._scan_core(
+                s_raw[:], None, None, cand, plan, p_list, thr,
+                [True] * n_e, False, shift_fn=_shift2_roll)
+            for k in range(n_e):
+                out_ref[k] = out_ref[k] + counts[k]
+
+        pl.run_scoped(
+            body,
+            s_raw=pltpu.VMEM(slab_shape, dtype),
+            s_cand=pltpu.VMEM(slab_shape, dtype),
+            sems=pltpu.SemaphoreType.DMA((2,)),
+        )
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 2,
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((n_e,), jnp.int32),
+        interpret=interpret,
+    )(raw_p, cand_p)
+
+
+@functools.partial(jax.jit, static_argnames=('plan', 'p_list', 'thr',
+                                             'interpret'))
 def scan_pass_b_pallas(raw, cband, eband, cand_mask, allowed, plan, p_list,
                        thr, interpret=False):
     """Drop-in replacement for scan_ops.scan_pass_b's capture outputs
@@ -82,7 +166,7 @@ def scan_pass_b_pallas(raw, cband, eband, cand_mask, allowed, plan, p_list,
     Mr = _pad_to(M, 8)
     Mc = _pad_to(M, 128)
     n_p = len(p_list)
-    R, T = _choose_tiles(num_p, Lp, Mr, Mc, n_p)
+    R, T = _choose_tiles(num_p, Lp, Mr, Mc, 44 + 8 * n_p)
 
     num_pad = _pad_to(num_p, R)
     col_pad = _pad_to(Lp, T)

@@ -56,27 +56,42 @@ def shift2(a, dd, dx):
 
 
 class _RingState:
-    """Incremental line accumulators for one band tensor."""
+    """Incremental line accumulators for one band tensor.
 
-    def __init__(self, band, shift_fn=None):
+    ``kinds`` restricts which ring flavours this band will ever be asked
+    for: the raw 'm' band only serves lower-left 'Q' rings (reads_rings),
+    so its K-side accumulators (Vx, Wx — 6 shifted adds per advance) are
+    skipped entirely when 'K' is absent."""
+
+    def __init__(self, band, shift_fn=None, kinds=('K', 'Q')):
         self.band = band
         self.shift = shift_fn or shift2
         z = jnp.zeros_like(band)
         self.Vx, self.Wx, self.Vn, self.Wq = z, z, z, z
+        self.need_K = 'K' in kinds
+        self.need_Q = 'Q' in kinds
         self.r = 0
 
     def advance(self):
         r = self.r + 1
         band = self.band
         shift2_ = self.shift
-        self.Vx = self.Vx + shift2_(band, r, 0) + shift2_(band, -r, 0)
-        self.Vn = self.Vn + shift2_(band, -r, 0)
+        neg = shift2_(band, -r, 0)
+        if self.need_K:
+            self.Vx = self.Vx + shift2_(band, r, 0) + neg
+        if self.need_Q:
+            self.Vn = self.Vn + neg
         # ring sums use Wx/Wq at r-1 (pre-update)
-        self._ringK = (shift2_(self.Vx, -r, r) + shift2_(self.Vx, r, -r)
-                       + shift2_(self.Wx, r, 0) + shift2_(self.Wx, -r, 0))
-        self._ringQ = shift2_(self.Vn, -r, r) + shift2_(self.Wq, -r, 0)
-        self.Wx = self.Wx + shift2_(band, -r, r) + shift2_(band, r, -r)
-        self.Wq = self.Wq + shift2_(band, -r, r)
+        if self.need_K:
+            self._ringK = (shift2_(self.Vx, -r, r) + shift2_(self.Vx, r, -r)
+                           + shift2_(self.Wx, r, 0) + shift2_(self.Wx, -r, 0))
+        if self.need_Q:
+            self._ringQ = shift2_(self.Vn, -r, r) + shift2_(self.Wq, -r, 0)
+        anti = shift2_(band, -r, r)
+        if self.need_K:
+            self.Wx = self.Wx + anti + shift2_(band, r, -r)
+        if self.need_Q:
+            self.Wq = self.Wq + anti
         self.r = r
 
     def ringK(self):
@@ -95,7 +110,10 @@ class _RingProvider:
 
     def __init__(self, bands: dict, pending, shift_fn=None):
         """``pending``: Counter of (r, kind, which) -> total request count."""
-        self.states = {k: _RingState(v, shift_fn) for k, v in bands.items()}
+        kinds = {k: {wh for (_, kk, wh) in pending if kk == k}
+                 for k in bands}
+        self.states = {k: _RingState(v, shift_fn, kinds[k] or {'K', 'Q'})
+                       for k, v in bands.items()}
         self.pending = dict(pending)
         self.cache = {}
         self.r_cur = 0
@@ -173,7 +191,7 @@ def _scan_core(raw, cband, eband, cand_mask, plan, p_list, thr, allowed,
 
         p = e.p
         newly = cand_mask & (~captured[p]) & (accR >= thr)
-        counts.append(jnp.sum(newly))
+        counts.append(jnp.sum(newly.astype(jnp.int32)))
         ok = allowed[e.index]
         do_cap = newly & ok
         captured[p] = captured[p] | do_cap
@@ -182,7 +200,8 @@ def _scan_core(raw, cband, eband, cand_mask, plan, p_list, thr, allowed,
             vals = (accKc, accKe, accQc, accQe)
             outs[p] = [jnp.where(do_cap, v, old) for v, old in zip(vals, o)]
 
-    counts = jnp.stack(counts)
+    # counts stays a Python list of scalars: the Pallas kernel stores them
+    # to SMEM individually; jnp callers stack in _scan
     if with_captures:
         return counts, captured, outs
     return counts
@@ -203,8 +222,8 @@ def _scan(raw, cband, eband, cand_mask, plan, p_list, thr, allowed,
         counts, captured, outs = out
         captured = {p: crop(v) for p, v in captured.items()}
         outs = {p: [crop(v) for v in o] for p, o in outs.items()}
-        return counts, captured, outs
-    return out
+        return jnp.stack(counts), captured, outs
+    return jnp.stack(out)
 
 
 @functools.partial(jax.jit, static_argnames=('plan', 'p_list', 'thr'))

@@ -19,16 +19,27 @@ stage (callers.py:239-317 for hiccups, callers.py:517-577 for bhfdr):
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax.scipy.special import gammainc
 
 
-def shear_gather(vec, num, L):
-    """out[d, x] = vec[x + d] (clamped gather; callers mask invalid pixels)."""
-    idx = (jnp.arange(num)[:, None] + jnp.arange(vec.shape[0])[None, :])
-    idx = jnp.minimum(idx, vec.shape[0] - 1)
-    return vec[idx]
+def shear_bcast(vec, num_p):
+    """out[d, x] = vec[x + d], zero beyond the end — gather-free.
+
+    XLA gathers with computed 2-D indices lower pathologically on the
+    tunneled TPU runtime, so the shear is built from pure broadcasts and
+    reshapes instead: tile ``wpad = [vec, 0...]`` (length M = Lp + num_p)
+    flat, then re-read it with row stride M+1 — row d starts one element
+    later per row, i.e. H[d, x] = wpad[x + d].  No wraparound is possible
+    because x + d <= (Lp-1) + (num_p-1) < M."""
+    Lp = vec.shape[0]
+    M = Lp + num_p
+    wpad = jnp.concatenate([vec, jnp.zeros(num_p, vec.dtype)])
+    flat = jnp.broadcast_to(wpad, (num_p + 1, M)).reshape(-1)
+    return flat[:num_p * (M + 1)].reshape(num_p, M + 1)[:, :Lp]
 
 
 def bias_product_host(bias, num_p):
@@ -41,6 +52,47 @@ def bias_product_host(bias, num_p):
     padded = np.concatenate([b, np.zeros(num_p, b.dtype)])
     By = np.lib.stride_tricks.sliding_window_view(padded, Lp)[:num_p]
     return np.ascontiguousarray(By * b[None, :])
+
+
+def build_sheets_device(raw, w0, bias, IR, gap, ww_min, L, d_lo, d_hi,
+                        gap_s):
+    """Jitted device-side derivation of every dense sheet the engine needs
+    from one raw slab + O(L) vectors.
+
+    Replaces the round-1 host path that built and shipped four extra
+    dense [num_p, Lp] sheets per chromosome (balanced band, expected
+    band, bias product, gap-reject — ~400MB of host→device transfer at
+    genome scale):
+
+    * cband[d,x] = raw * w0[x] * w0[x+d], rows < ww_min zeroed — the
+      balanced band (w0 has invalid bins zeroed, so NaN-weight pixels
+      land on 0 exactly like the host's NaN masking, band.py)
+    * eband[d,x] = IR[d] on the true extent x < L-d (engine._band_arrays'
+      former eband_np)
+    * Bprod[d,x] = bias[x] * bias[x+d] (bias_product_host twin)
+    * gap_drop   = gap_reject_device(gap, ...) (gap_reject_host twin)
+    * cand[d,x]  = raw != 0 within d_lo <= d <= d_hi (engine._candidates)
+    """
+    return _build_sheets_jit(raw, w0, bias, IR, gap, ww_min=int(ww_min),
+                             L=int(L), d_lo=int(d_lo), d_hi=int(d_hi),
+                             gap_s=int(gap_s))
+
+
+@functools.partial(jax.jit, static_argnames=('ww_min', 'L', 'd_lo',
+                                             'd_hi', 'gap_s'))
+def _build_sheets_jit(raw, w0, bias, IR, gap, ww_min, L, d_lo, d_hi,
+                      gap_s):
+    num_p, Lp = raw.shape
+    drow = jnp.arange(num_p)[:, None]
+    col = jnp.arange(Lp)[None, :]
+
+    cband = raw * w0[None, :] * shear_bcast(w0, num_p)
+    cband = jnp.where(drow < ww_min, 0.0, cband)
+    eband = jnp.where(col < (L - drow), IR[:, None], 0.0)
+    Bprod = bias[None, :] * shear_bcast(bias, num_p)
+    gap_drop = gap_reject_device(gap, num_p, L, gap_s)
+    cand = (raw != 0) & (drow >= d_lo) & (drow <= d_hi)
+    return cband, eband, Bprod, gap_drop, cand
 
 
 def expected_observed(raw, cband, IR, Bprod, bSV, bEV, wi, cand_mask, L):
@@ -366,6 +418,31 @@ def gap_vector(cband):
     """Gap bins: zero row-sum of the upper-band balanced matrix
     (callers.py:238/557 uses cM.sum(axis=1) of the diagonal-band matrix)."""
     return jnp.sum(cband, axis=0) == 0
+
+
+def gap_reject_device(gap, num_p, L, s):
+    """Device-side twin of :func:`gap_reject_host`: drop[d, x] = any gap
+    bin inside the reference's exclusive-upper windows around x or
+    y = x + d (callers.py:291-312).  The windowed counts come from shifted
+    slices of a cumulative sum (no gathers); the y-side sheet from
+    :func:`shear_bcast`.  ``L`` and ``s`` are static under jit, so the
+    edge clamping resolves to fixed slice/concat shapes."""
+    Lp = gap.shape[0]
+    g = gap[:L].astype(jnp.int32)
+    G = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(g)])  # [L+1]
+    # host: lower = pos - s if pos > s else 0; upper = max(min(pos+s, L-1),
+    # lower).  A[0] == 0, so Gl needs s+1 leading zeros; for s >= L every
+    # window degenerates to G[L-1] - G[0].
+    if s >= L:
+        cnt = jnp.broadcast_to(G[L - 1], (L,))
+    else:
+        Gl = jnp.concatenate([jnp.zeros(s + 1, jnp.int32), G[1:L - s]])
+        Gu = jnp.concatenate([G[s:L],
+                              jnp.broadcast_to(G[L - 1], (min(s, L),))])
+        cnt = Gu - Gl
+    cnt_full = jnp.concatenate([cnt, jnp.zeros(Lp - L, jnp.int32)])
+    cnt_y = shear_bcast(cnt_full, num_p)
+    return (cnt_full[None, :] + cnt_y) > 0
 
 
 def gap_reject_host(gap, num_p, L, s):

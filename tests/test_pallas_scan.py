@@ -6,7 +6,8 @@ import pytest
 
 from hicpeaks_tpu.core import poolplan
 from hicpeaks_tpu.ops import scan as scan_ops
-from hicpeaks_tpu.ops.pallas_scan import scan_pass_b_pallas
+from hicpeaks_tpu.ops.pallas_scan import (scan_pass_a_pallas,
+                                          scan_pass_b_pallas)
 
 
 @pytest.mark.parametrize('pw,ww,maxww', [
@@ -41,3 +42,27 @@ def test_pallas_capture_matches_jnp(pw, ww, maxww):
                                        np.asarray(want[p][t]),
                                        atol=1e-4,
                                        err_msg=f'p={p} {name}')
+
+
+@pytest.mark.parametrize('pw,ww,maxww,thr', [
+    ([2], [5], 7, 16),
+    ([1, 2], [3, 5], 7, 8),
+])
+def test_pallas_count_matches_jnp(pw, ww, maxww, thr):
+    """Pass A (freeze-count) kernel: integer-exact per-entry counts."""
+    num_p, Lp = 64, 256
+    rng = np.random.default_rng(7)
+    raw = (rng.random((num_p, Lp)) < 0.4) * rng.poisson(6.0, (num_p, Lp))
+    raw = jnp.asarray(raw.astype(np.float32))
+    drow = jnp.arange(num_p)[:, None]
+    col = jnp.arange(Lp)[None, :]
+    L = Lp - 13
+    cand = (raw != 0) & (drow >= min(ww)) & (drow <= num_p - maxww - 1) & \
+        (col < (L - drow))
+
+    plan = tuple(poolplan.hiccups_pool_plan(pw, ww, maxww))
+    p_list = tuple(sorted(set(pw)))
+
+    want = scan_ops.scan_pass_a(raw, cand, plan, p_list, thr)
+    got = scan_pass_a_pallas(raw, cand, plan, p_list, thr, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

@@ -1,0 +1,100 @@
+"""Parity of the device-side sheet builder (ops/score.build_sheets_device)
+against the host-side round-1 path it replaces.
+
+The production engine derives the balanced band, expected band, bias
+product, gap-reject mask, and candidate mask on device from one raw slab
+plus O(L) vectors; these tests pin each sheet to the host computation
+that is itself pinned to the reference (gap windows: callers.py:291-312;
+expected-value factors: invariant 3 of SURVEY §2).
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from hicpeaks_tpu.ops import score as score_ops
+from hicpeaks_tpu.ops.band import build_bands
+
+
+def _random_chrom(seed, L=300, num=64, nan_frac=0.1, ww_min=3):
+    rng = np.random.default_rng(seed)
+    n = 1500
+    b1 = rng.integers(0, L, n)
+    d = rng.integers(0, num + 10, n)
+    b2 = np.minimum(b1 + d, L - 1)
+    # dedup like ingest does
+    key = b1 * (2 * L) + b2
+    _, idx = np.unique(key, return_index=True)
+    b1, b2 = b1[idx], b2[idx]
+    ct = rng.integers(1, 50, b1.size).astype(np.float64)
+    w = rng.uniform(0.5, 2.0, L)
+    w[rng.random(L) < nan_frac] = np.nan
+    return build_bands(b1, b2, ct, w, L, num, ww_min, res=10000), w
+
+
+def test_shear_bcast_matches_gather():
+    rng = np.random.default_rng(0)
+    vec = rng.normal(size=137).astype(np.float32)
+    num_p = 24
+    out = np.asarray(score_ops.shear_bcast(jnp.asarray(vec), num_p))
+    Lp = vec.shape[0]
+    exp = np.zeros((num_p, Lp), np.float32)
+    for dd in range(num_p):
+        for x in range(Lp):
+            if x + dd < Lp:
+                exp[dd, x] = vec[x + dd]
+    np.testing.assert_array_equal(out, exp)
+
+
+@pytest.mark.parametrize('seed', [1, 2])
+def test_device_sheets_match_host(seed):
+    bands, w = _random_chrom(seed)
+    num_p, Lp = bands.raw.shape
+    L, ww_min = bands.L, bands.ww_min
+    d_lo, d_hi = ww_min, 50
+    gap_s = ww_min
+
+    cband_d, eband_d, Bprod_d, gapdrop_d, cand_d = [
+        np.asarray(a) for a in score_ops.build_sheets_device(
+            jnp.asarray(bands.raw), jnp.asarray(bands.w0),
+            jnp.asarray(bands.bias), jnp.asarray(bands.IR),
+            jnp.asarray(bands.gap), ww_min, L, d_lo, d_hi, gap_s)]
+
+    # balanced band: host path rounds the f64 product once, the device
+    # multiplies f32 factors — equal to a few ulp
+    np.testing.assert_allclose(cband_d, bands.cband, rtol=5e-6, atol=0)
+    # zero/nonzero structure must agree exactly (gap + candidate semantics)
+    np.testing.assert_array_equal(cband_d == 0, bands.cband == 0)
+
+    drow = np.arange(num_p)[:, None]
+    col = np.arange(Lp)[None, :]
+    eband_h = np.where(col < (L - drow), bands.IR[:, None], 0.0)
+    np.testing.assert_array_equal(eband_d, eband_h.astype(np.float32))
+
+    np.testing.assert_array_equal(
+        Bprod_d, score_ops.bias_product_host(bands.bias, num_p))
+
+    gapdrop_h = score_ops.gap_reject_host(bands.gap, num_p, L, gap_s)
+    np.testing.assert_array_equal(gapdrop_d, gapdrop_h)
+
+    cand_h = (bands.raw != 0) & (drow >= d_lo) & (drow <= d_hi)
+    np.testing.assert_array_equal(cand_d, cand_h)
+    assert bands.candidate_total(d_lo, d_hi) == int(cand_h.sum())
+
+
+def test_gap_vector_matches_dense_cband():
+    bands, _ = _random_chrom(3, nan_frac=0.3)
+    np.testing.assert_array_equal(bands.gap,
+                                  bands.cband.sum(axis=0) == 0)
+
+
+@pytest.mark.parametrize('L,s', [(40, 5), (40, 39), (40, 40), (40, 64),
+                                 (128, 1)])
+def test_gap_reject_device_edges(L, s):
+    rng = np.random.default_rng(L + s)
+    Lp = 128
+    num_p = 16
+    gap = np.zeros(Lp, bool)
+    gap[rng.integers(0, L, 6)] = True
+    d = np.asarray(score_ops.gap_reject_device(jnp.asarray(gap), num_p, L, s))
+    h = score_ops.gap_reject_host(gap, num_p, L, s)
+    np.testing.assert_array_equal(d, h)
