@@ -76,19 +76,10 @@ _KEEP_CAP = 1 << 17    # kept-pixel compaction bound (pre-clustering
                        # significant candidates are 1e2-1e5 in practice)
 
 
-@functools.partial(jax.jit, static_argnames=('wi', 'L', 'chunked', 'o_cap',
-                                             'keep_cap'))
-def _score_device_compact(raw, cband, IR, Bprod, bSV, bEV, cand, gap_drop,
-                          sig, wi, L, chunked, o_cap=None,
-                          keep_cap=_KEEP_CAP):
-    """Device-BH scoring that compacts the kept pixels on device.
-
-    Dense [num_p, Lp] sheets never cross to the host (on tunneled TPU
-    runtimes each dense fetch is ~100MB+ of transfer per background —
-    the round-1 bottleneck): the keep mask is compacted to at most
-    ``keep_cap`` (d, x) indices + per-pixel stats, a few MB total.  The
-    dense EM*ratio product stays resident on device for the hiccups
-    postcheck, served by :func:`_gather_pairs`."""
+def _compact_one(raw, cband, IR, Bprod, bSV, bEV, cand, gap_drop, sig, wi,
+                 L, chunked, o_cap, keep_cap):
+    """Traced body shared by the single- and pair-background compact
+    scorers."""
     E, O, ICE, Fold, scored, prod = score_ops.expected_observed(
         raw, cband, IR, Bprod, bSV, bEV, wi, cand, L)
     if chunked:
@@ -110,6 +101,39 @@ def _score_device_compact(raw, cband, IR, Bprod, bSV, bEV, cand, gap_drop,
             g(O), g(ICE), g(Fold), g(pval), g(qval), prod)
 
 
+@functools.partial(jax.jit, static_argnames=('wi', 'L', 'chunked', 'o_cap',
+                                             'keep_cap'))
+def _score_device_compact(raw, cband, IR, Bprod, bSV, bEV, cand, gap_drop,
+                          sig, wi, L, chunked, o_cap=None,
+                          keep_cap=_KEEP_CAP):
+    """Device-BH scoring that compacts the kept pixels on device.
+
+    Dense [num_p, Lp] sheets never cross to the host (on tunneled TPU
+    runtimes each dense fetch is ~100MB+ of transfer per background —
+    the round-1 bottleneck): the keep mask is compacted to at most
+    ``keep_cap`` (d, x) indices + per-pixel stats, a few MB total.  The
+    dense EM*ratio product stays resident on device for the hiccups
+    postcheck, served by :func:`_gather_pairs`."""
+    return _compact_one(raw, cband, IR, Bprod, bSV, bEV, cand, gap_drop,
+                        sig, wi, L, chunked, o_cap, keep_cap)
+
+
+@functools.partial(jax.jit, static_argnames=('wi', 'L', 'chunked', 'o_cap',
+                                             'keep_cap'))
+def _score_device_compact_pair(raw, cband, IR, Bprod, KS, KE, YS, YE, cand,
+                               gap_drop, sig, wi, L, chunked, o_cap=None,
+                               keep_cap=_KEEP_CAP):
+    """Both backgrounds (donut 'K' and lower-left 'Y', callers.py:319-339)
+    scored in ONE program: XLA shares the iota/valid/candidate
+    subexpressions and the host pays a single dispatch + fetch round trip
+    per (p, w) pair instead of two."""
+    outK = _compact_one(raw, cband, IR, Bprod, KS, KE, cand, gap_drop,
+                        sig, wi, L, chunked, o_cap, keep_cap)
+    outY = _compact_one(raw, cband, IR, Bprod, YS, YE, cand, gap_drop,
+                        sig, wi, L, chunked, o_cap, keep_cap)
+    return outK, outY
+
+
 @jax.jit
 def _gather_pairs(a, d_idx, x_idx):
     """Tiny device gather for postcheck lookups into a resident dense
@@ -117,10 +141,9 @@ def _gather_pairs(a, d_idx, x_idx):
     return a[d_idx, x_idx]
 
 
-def _score_one(raw, cband, IR, Bprod, bSV, bEV, wi, cand, L, sig, gap_drop,
-               chunked: bool, bh_backend='auto', max_count=None):
-    """Poisson scoring of one background; returns host-side kept-pixel
-    arrays (x, y, O, ICE, Fold, p, q) plus the dense EM*ratio product."""
+def _bh_plan(chunked, bh_backend, max_count):
+    """Resolve 'auto' and the histogram-BH count cap (shared by the
+    single- and pair-background scorers)."""
     if bh_backend == 'auto':
         if chunked and max_count is not None and max_count <= (1 << 17):
             # sort-free histogram BH: exact and compile-cheap on any backend
@@ -134,6 +157,46 @@ def _score_one(raw, cband, IR, Bprod, bSV, bEV, wi, cand, L, sig, gap_drop,
         o_cap = 256
         while o_cap < int(max_count):
             o_cap *= 2
+    return bh_backend, o_cap
+
+
+def _compact_to_host(fetched, prod):
+    """(cnt, idx..., stats...) device bundle -> host dict, or None on
+    keep-cap overflow."""
+    cnt, d_idx, x_idx, Ov, ICEv, Foldv, pv, qv = fetched
+    n = int(cnt)
+    if n > _KEEP_CAP:
+        return None
+    d_idx, x_idx = d_idx[:n], x_idx[:n]
+    return dict(x=x_idx, y=x_idx + d_idx, O=Ov[:n], ICE=ICEv[:n],
+                Fold=Foldv[:n], p=pv[:n], q=qv[:n], prod=prod)
+
+
+def _score_pair(raw, cband, IR, Bprod, KS, KE, YS, YE, wi, cand, L, sig,
+                gap_drop, bh_backend='auto', max_count=None):
+    """Fused scoring of both hiccups backgrounds in one device program +
+    one host fetch.  Returns (rK, rY), or None when the fused device
+    path does not apply (host BH, or keep-cap overflow) — the caller
+    then falls back to two :func:`_score_one` calls."""
+    backend, o_cap = _bh_plan(True, bh_backend, max_count)
+    if backend != 'device' or o_cap is None:
+        return None
+    outK, outY = _score_device_compact_pair(
+        raw, cband, IR, Bprod, KS, KE, YS, YE, cand, gap_drop, sig,
+        wi=int(wi), L=int(L), chunked=True, o_cap=o_cap)
+    fK, fY = jax.device_get((outK[:8], outY[:8]))   # one bundled transfer
+    rK = _compact_to_host(fK, outK[8])
+    rY = _compact_to_host(fY, outY[8])
+    if rK is None or rY is None:
+        return None
+    return rK, rY
+
+
+def _score_one(raw, cband, IR, Bprod, bSV, bEV, wi, cand, L, sig, gap_drop,
+               chunked: bool, bh_backend='auto', max_count=None):
+    """Poisson scoring of one background; returns host-side kept-pixel
+    arrays (x, y, O, ICE, Fold, p, q) plus the dense EM*ratio product."""
+    bh_backend, o_cap = _bh_plan(chunked, bh_backend, max_count)
     if bh_backend == 'device':
         out = _score_device_compact(
             raw, cband, IR, Bprod, bSV, bEV, cand, gap_drop, sig,
@@ -301,12 +364,18 @@ def hiccups_chrom(bands: ChromBands, cfg: HiccupsConfig, mesh=None,
     pixel_table = {}
     for pi, wi in zip(pw, ww):
         KS, KE, YS, YE = outs[pi]
-        rK = _score_one(raw, cband, IR, Bprod, KS, KE, wi, cand, L,
-                        cfg.siglevel, gap_drop, chunked=True,
-                        bh_backend=bh_backend, max_count=max_count)
-        rY = _score_one(raw, cband, IR, Bprod, YS, YE, wi, cand, L,
-                        cfg.siglevel, gap_drop, chunked=True,
-                        bh_backend=bh_backend, max_count=max_count)
+        pair = _score_pair(raw, cband, IR, Bprod, KS, KE, YS, YE, wi, cand,
+                           L, cfg.siglevel, gap_drop, bh_backend=bh_backend,
+                           max_count=max_count)
+        if pair is not None:
+            rK, rY = pair
+        else:
+            rK = _score_one(raw, cband, IR, Bprod, KS, KE, wi, cand, L,
+                            cfg.siglevel, gap_drop, chunked=True,
+                            bh_backend=bh_backend, max_count=max_count)
+            rY = _score_one(raw, cband, IR, Bprod, YS, YE, wi, cand, L,
+                            cfg.siglevel, gap_drop, chunked=True,
+                            bh_backend=bh_backend, max_count=max_count)
 
         first = rK['O'] if cfg.use_raw else rK['ICE']
         preDonuts = {(int(x), int(y)): (fi, o, f, p, q)

@@ -87,23 +87,35 @@ def build_bands(bin1, bin2, count, weights, L, num, ww_min, res, chrom='',
     """
     Lp = _round_up(max(L, 1), lane_pad)
     num_p = _round_up(max(num, 1), sublane_pad)
-
-    d = (bin2 - bin1).astype(np.int64)
-    sel = (d >= 0) & (d < num)
-    b1, dd, ct = bin1[sel], d[sel], count[sel].astype(np.float64)
-
-    raw = np.zeros((num_p, Lp), dtype)
-    raw[dd, b1] = ct
-
     w = np.asarray(weights, np.float64)
-    wprod = w[b1] * w[b1 + dd]
-    nanmask_vals = np.isnan(wprod)
-    cvals = np.where(nanmask_vals, 0.0, ct * wprod)
 
-    # NaN-aware per-diagonal means over the true extent [0, L-d):
-    # sums/counts via O(nnz) bincounts — no dense balanced band needed.
-    nan_counts = np.bincount(dd[nanmask_vals], minlength=num_p)[:num_p]
-    csum = np.bincount(dd, weights=cvals, minlength=num_p)[:num_p]
+    native = None
+    if dtype == np.float32 or np.dtype(dtype) == np.float32:
+        from .bandnative import band_build_native
+        native = band_build_native(bin1, bin2, count, w, L, num, num_p, Lp,
+                                   ww_min)
+    if native is not None:
+        raw, csum, nan_counts, colsum, dd, b1, cvals, ct = native
+    else:
+        d = (bin2 - bin1).astype(np.int64)
+        sel = (d >= 0) & (d < num) & (bin1 >= 0) & (bin2 < L)
+        b1, dd, ct = bin1[sel], d[sel], count[sel].astype(np.float64)
+
+        raw = np.zeros((num_p, Lp), dtype)
+        raw[dd, b1] = ct
+
+        wprod = w[b1] * w[b1 + dd]
+        nanmask_vals = np.isnan(wprod)
+        cvals = np.where(nanmask_vals, 0.0, ct * wprod)
+
+        # NaN-aware per-diagonal means over the true extent [0, L-d):
+        # sums/counts via O(nnz) bincounts — no dense balanced band needed.
+        nan_counts = np.bincount(dd[nanmask_vals], minlength=num_p)[:num_p]
+        csum = np.bincount(dd, weights=cvals, minlength=num_p)[:num_p]
+        in_rows = dd >= ww_min
+        colsum = np.bincount(b1[in_rows], weights=cvals[in_rows],
+                             minlength=Lp)[:Lp]
+
     diag_len = np.maximum(L - np.arange(num_p), 0)
     denom = diag_len - nan_counts
     with np.errstate(invalid='ignore', divide='ignore'):
@@ -114,9 +126,6 @@ def build_bands(bin1, bin2, count, weights, L, num, ww_min, res, chrom='',
     # gap bins: zero columns of the balanced band (rows >= ww_min), the
     # reference's zero rows of cM (callers.py:238).  cvals >= 0, so a
     # column sum is zero iff every contribution is zero.
-    in_rows = dd >= ww_min
-    colsum = np.bincount(b1[in_rows], weights=cvals[in_rows],
-                         minlength=Lp)[:Lp]
     gap = colsum == 0
 
     valid = ~((w == 0) | np.isnan(w))

@@ -81,6 +81,43 @@ def test_device_sheets_match_host(seed):
     assert bands.candidate_total(d_lo, d_hi) == int(cand_h.sum())
 
 
+def test_native_band_build_matches_numpy():
+    """native/bandbuild.cpp vs the numpy path of build_bands: identical
+    raw band, gap vector, candidate totals; IR to f64-summation-order
+    tolerance."""
+    from hicpeaks_tpu.ops import bandnative
+    if bandnative._load_library() is None:
+        pytest.skip('native bandbuild unavailable')
+    rng = np.random.default_rng(11)
+    L, num, ww_min = 400, 96, 3
+    n = 3000
+    b1 = rng.integers(0, L, n)
+    d = rng.integers(0, num + 20, n)
+    b2 = np.minimum(b1 + d, L - 1)
+    key = b1 * (2 * L) + b2
+    _, idx = np.unique(key, return_index=True)
+    b1, b2 = b1[idx], b2[idx]
+    ct = rng.integers(1, 50, b1.size).astype(np.float64)
+    w = rng.uniform(0.5, 2.0, L)
+    w[rng.random(L) < 0.15] = np.nan
+
+    nat = build_bands(b1, b2, ct, w, L, num, ww_min, res=10000,
+                      dtype=np.float32)
+    assert nat._sparse[0].size > 0
+    # force the numpy path by requesting a dtype the native kernel skips,
+    # then compare against a float32 re-cast
+    ref = build_bands(b1, b2, ct, w, L, num, ww_min, res=10000,
+                      dtype=np.float64)
+
+    np.testing.assert_array_equal(nat.raw, ref.raw.astype(np.float32))
+    np.testing.assert_array_equal(nat.gap, ref.gap)
+    np.testing.assert_allclose(nat.IR, ref.IR.astype(np.float32), rtol=1e-6)
+    np.testing.assert_array_equal(nat.bias, ref.bias.astype(np.float32))
+    np.testing.assert_array_equal(nat.cband, ref.cband.astype(np.float32))
+    for lo, hi in ((ww_min, 50), (0, num)):
+        assert nat.candidate_total(lo, hi) == ref.candidate_total(lo, hi)
+
+
 def test_gap_vector_matches_dense_cband():
     bands, _ = _random_chrom(3, nan_frac=0.3)
     np.testing.assert_array_equal(bands.gap,
