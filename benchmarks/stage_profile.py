@@ -131,12 +131,18 @@ def main():
         max_count = float(bands.raw.max())
 
         KS, KE, YS, YE = outs[pw[0]]
-        rK = stage('score_K', lambda: engine._score_one(
-            raw, cband, IR, Bprod, KS, KE, ww[0], cand, L, cfg.siglevel,
-            gap_drop, chunked=True, max_count=max_count))
-        rY = stage('score_Y', lambda: engine._score_one(
-            raw, cband, IR, Bprod, YS, YE, ww[0], cand, L, cfg.siglevel,
-            gap_drop, chunked=True, max_count=max_count))
+        pair = stage('score_pair', lambda: engine._score_pair(
+            raw, cband, IR, Bprod, KS, KE, YS, YE, ww[0], cand, L,
+            cfg.siglevel, gap_drop, max_count=max_count))
+        if pair is not None:
+            rK, rY = pair
+        else:
+            rK = stage('score_K', lambda: engine._score_one(
+                raw, cband, IR, Bprod, KS, KE, ww[0], cand, L, cfg.siglevel,
+                gap_drop, chunked=True, max_count=max_count))
+            rY = stage('score_Y', lambda: engine._score_one(
+                raw, cband, IR, Bprod, YS, YE, ww[0], cand, L, cfg.siglevel,
+                gap_drop, chunked=True, max_count=max_count))
 
         def combine_and_cluster():
             first = rK['ICE']

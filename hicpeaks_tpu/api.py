@@ -62,7 +62,7 @@ def _selected_chroms(clr: CoolerLite, chroms):
 
 def _run(kind, cooler_uri, cfg, chroms, mesh, scan_backend, checkpoint_dir,
          dtype, profile_dir, shape_bucket=4096, max_retries=1,
-         bh_backend='auto'):
+         bh_backend='auto', check=False):
     import jax
 
     clr = CoolerLite(cooler_uri)
@@ -107,7 +107,7 @@ def _run(kind, cooler_uri, cfg, chroms, mesh, scan_backend, checkpoint_dir,
                 try:
                     table = caller(bands, cfg, mesh=mesh,
                                    scan_backend=scan_backend,
-                                   bh_backend=bh_backend)
+                                   bh_backend=bh_backend, check=check)
                     break
                 except Exception:
                     attempt += 1
@@ -136,18 +136,20 @@ def _run(kind, cooler_uri, cfg, chroms, mesh, scan_backend, checkpoint_dir,
 def call_hiccups(cooler_uri, cfg: HiccupsConfig = None, chroms=('#', 'X'),
                  mesh=None, scan_backend='auto', checkpoint_dir=None,
                  dtype=np.float32, profile_dir=None, shape_bucket=4096,
-                 bh_backend='auto'):
+                 bh_backend='auto', check=False):
     """-> {chrom_label: {(x_bp, y_bp): 10-tuple}} (see engine.hiccups_chrom)."""
     return _run('hiccups', cooler_uri, cfg or HiccupsConfig(), chroms, mesh,
                 scan_backend, checkpoint_dir, dtype, profile_dir,
-                shape_bucket=shape_bucket, bh_backend=bh_backend)
+                shape_bucket=shape_bucket, bh_backend=bh_backend,
+                check=check)
 
 
 def call_bhfdr(cooler_uri, cfg: BHFDRConfig = None, chroms=('#', 'X'),
                mesh=None, scan_backend='auto', checkpoint_dir=None,
                dtype=np.float32, profile_dir=None, shape_bucket=4096,
-               bh_backend='auto'):
+               bh_backend='auto', check=False):
     """-> {chrom_label: {(x_bp, y_bp): 7-tuple}} (see engine.bhfdr_chrom)."""
     return _run('bhfdr', cooler_uri, cfg or BHFDRConfig(), chroms, mesh,
                 scan_backend, checkpoint_dir, dtype, profile_dir,
-                shape_bucket=shape_bucket, bh_backend=bh_backend)
+                shape_bucket=shape_bucket, bh_backend=bh_backend,
+                check=check)

@@ -43,6 +43,9 @@ def _engine_args(parser):
     g.add_argument('--shape-bucket', type=int, default=4096,
                    help='Pad chromosome band length to a multiple of this so '
                    'compiled programs are shared across chromosomes.')
+    g.add_argument('--checkify', action='store_true',
+                   help='Run the scoring step under jax checkify '
+                   '(NaN/inf/out-of-bounds instrumentation; slower).')
     return g
 
 
@@ -137,7 +140,8 @@ def hiccups_main(argv=None):
                            checkpoint_dir=args.checkpoint_dir,
                            scan_backend=args.scan_backend,
                            bh_backend=args.bh_backend,
-                           shape_bucket=args.shape_bucket)
+                           shape_bucket=args.shape_bucket,
+                           check=args.checkify)
     with open(args.output, 'w') as out:
         for label, table in results.items():
             write_hiccups_bedpe(out, label, res, table)
@@ -210,7 +214,8 @@ def bhfdr_main(argv=None):
                          checkpoint_dir=args.checkpoint_dir,
                          scan_backend=args.scan_backend,
                          bh_backend=args.bh_backend,
-                         shape_bucket=args.shape_bucket)
+                         shape_bucket=args.shape_bucket,
+                         check=args.checkify)
     with open(args.output, 'w') as out:
         for label, table in results.items():
             write_bhfdr_bedpe(out, label, res, table)

@@ -33,7 +33,9 @@ def _prep_chrom(bands: ChromBands, d_lo, d_hi, gap_s, mesh=None):
     IR = jnp.asarray(bands.IR)
     if mesh is not None:
         from ..parallel.tiles import shard_band
-        raw, cband, eband = (shard_band(a, mesh) for a in (raw, cband, eband))
+        raw, cband, eband, Bprod, gap_drop, cand = (
+            shard_band(a, mesh)
+            for a in (raw, cband, eband, Bprod, gap_drop, cand))
     return raw, cband, eband, IR, Bprod, gap_drop, cand
 
 
@@ -120,6 +122,28 @@ def _score_device_compact(raw, cband, IR, Bprod, bSV, bEV, cand, gap_drop,
 
 @functools.partial(jax.jit, static_argnames=('wi', 'L', 'chunked', 'o_cap',
                                              'keep_cap'))
+def _score_device_compact_checked(raw, cband, IR, Bprod, bSV, bEV, cand,
+                                  gap_drop, sig, wi, L, chunked, o_cap=None,
+                                  keep_cap=_KEEP_CAP):
+    """checkify-instrumented twin of :func:`_score_device_compact`
+    (SURVEY §5 'race detection / sanitizers' row): every float op is
+    checked for NaN/inf production and every gather for OOB indices; the
+    functional error value is fetched and thrown on the host.  Opt-in
+    (``check=True`` on the chrom engines / ``--checkify`` on the CLIs)
+    because the instrumentation costs throughput."""
+    from jax.experimental import checkify
+
+    def body(raw, cband, IR, Bprod, bSV, bEV, cand, gap_drop, sig):
+        return _compact_one(raw, cband, IR, Bprod, bSV, bEV, cand,
+                            gap_drop, sig, wi, L, chunked, o_cap, keep_cap)
+
+    return checkify.checkify(
+        body, errors=checkify.float_checks | checkify.index_checks)(
+            raw, cband, IR, Bprod, bSV, bEV, cand, gap_drop, sig)
+
+
+@functools.partial(jax.jit, static_argnames=('wi', 'L', 'chunked', 'o_cap',
+                                             'keep_cap'))
 def _score_device_compact_pair(raw, cband, IR, Bprod, KS, KE, YS, YE, cand,
                                gap_drop, sig, wi, L, chunked, o_cap=None,
                                keep_cap=_KEEP_CAP):
@@ -193,14 +217,25 @@ def _score_pair(raw, cband, IR, Bprod, KS, KE, YS, YE, wi, cand, L, sig,
 
 
 def _score_one(raw, cband, IR, Bprod, bSV, bEV, wi, cand, L, sig, gap_drop,
-               chunked: bool, bh_backend='auto', max_count=None):
+               chunked: bool, bh_backend='auto', max_count=None,
+               check=False):
     """Poisson scoring of one background; returns host-side kept-pixel
-    arrays (x, y, O, ICE, Fold, p, q) plus the dense EM*ratio product."""
+    arrays (x, y, O, ICE, Fold, p, q) plus the dense EM*ratio product.
+    ``check=True`` routes through the checkify-instrumented program and
+    raises on any NaN/inf/OOB the instrumentation observes."""
     bh_backend, o_cap = _bh_plan(chunked, bh_backend, max_count)
+    if check:
+        bh_backend = 'device'   # the instrumented program is the device one
     if bh_backend == 'device':
-        out = _score_device_compact(
-            raw, cband, IR, Bprod, bSV, bEV, cand, gap_drop, sig,
-            wi=int(wi), L=int(L), chunked=chunked, o_cap=o_cap)
+        if check:
+            err, out = _score_device_compact_checked(
+                raw, cband, IR, Bprod, bSV, bEV, cand, gap_drop, sig,
+                wi=int(wi), L=int(L), chunked=chunked, o_cap=o_cap)
+            err.throw()
+        else:
+            out = _score_device_compact(
+                raw, cband, IR, Bprod, bSV, bEV, cand, gap_drop, sig,
+                wi=int(wi), L=int(L), chunked=chunked, o_cap=o_cap)
         cnt, d_idx, x_idx, Ov, ICEv, Foldv, pv, qv = \
             jax.device_get(out[:8])     # one bundled host transfer
         n = int(cnt)
@@ -296,7 +331,7 @@ def _capture_pass(raw, cband, eband, cand, allowed, plan, p_list, thr, mesh,
 
 
 def bhfdr_chrom(bands: ChromBands, cfg: BHFDRConfig, mesh=None,
-                scan_backend='auto', bh_backend='auto'):
+                scan_backend='auto', bh_backend='auto', check=False):
     """Donut-only caller (reference callers.py:364-590).  Returns
     {(x_bp, y_bp): (cen_x_bp, cen_y_bp, radius_bp, O, Fold, p, q)}.
     With ``mesh`` the scan shards band tiles across devices with halo
@@ -318,7 +353,7 @@ def bhfdr_chrom(bands: ChromBands, cfg: BHFDRConfig, mesh=None,
 
     r = _score_one(raw, cband, IR, Bprod, KS, KE, cfg.ww, cand, L,
                    cfg.siglevel, gap_drop, chunked=False,
-                   bh_backend=bh_backend)
+                   bh_backend=bh_backend, check=check)
 
     Donuts = {(int(x), int(y)): (float(o), float(f), float(p), float(q))
               for x, y, o, f, p, q in zip(r['x'], r['y'], r['O'], r['Fold'],
@@ -336,7 +371,7 @@ def bhfdr_chrom(bands: ChromBands, cfg: BHFDRConfig, mesh=None,
 
 
 def hiccups_chrom(bands: ChromBands, cfg: HiccupsConfig, mesh=None,
-                  scan_backend='auto', bh_backend='auto'):
+                  scan_backend='auto', bh_backend='auto', check=False):
     """Two-background multi-parameter caller (reference callers.py:44-362).
     Returns {(x_bp, y_bp): (cen_x, cen_y, radius, O, FoldK, pK, qK,
     FoldY, pY, qY)} in bp.  With ``mesh`` the scan shards band tiles
@@ -364,18 +399,21 @@ def hiccups_chrom(bands: ChromBands, cfg: HiccupsConfig, mesh=None,
     pixel_table = {}
     for pi, wi in zip(pw, ww):
         KS, KE, YS, YE = outs[pi]
-        pair = _score_pair(raw, cband, IR, Bprod, KS, KE, YS, YE, wi, cand,
-                           L, cfg.siglevel, gap_drop, bh_backend=bh_backend,
-                           max_count=max_count)
+        pair = None if check else _score_pair(
+            raw, cband, IR, Bprod, KS, KE, YS, YE, wi, cand,
+            L, cfg.siglevel, gap_drop, bh_backend=bh_backend,
+            max_count=max_count)
         if pair is not None:
             rK, rY = pair
         else:
             rK = _score_one(raw, cband, IR, Bprod, KS, KE, wi, cand, L,
                             cfg.siglevel, gap_drop, chunked=True,
-                            bh_backend=bh_backend, max_count=max_count)
+                            bh_backend=bh_backend, max_count=max_count,
+                            check=check)
             rY = _score_one(raw, cband, IR, Bprod, YS, YE, wi, cand, L,
                             cfg.siglevel, gap_drop, chunked=True,
-                            bh_backend=bh_backend, max_count=max_count)
+                            bh_backend=bh_backend, max_count=max_count,
+                            check=check)
 
         first = rK['O'] if cfg.use_raw else rK['ICE']
         preDonuts = {(int(x), int(y)): (fi, o, f, p, q)
