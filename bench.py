@@ -112,7 +112,7 @@ def main():
 
     # --- stage 1: device sheets + pass A (freeze counts) ---
     t0 = time.time()
-    cband, eband, Bprod, gap_drop, cand = score_ops.build_sheets_device(
+    raw, cband, eband, Bprod, gap_drop, cand = score_ops.build_sheets_device(
         raw, w0, bias, IR, gap, min(ww), bands.L, min(ww),
         maxapart // res, min(ww))
     if backend == 'pallas':
@@ -148,7 +148,7 @@ def main():
     @jax.jit
     def full(eps, raw, w0, bias, IR, gap, allowed):
         raw_i = raw + eps
-        cband, eband, Bprod, gap_drop, cand = score_ops.build_sheets_device(
+        raw_i, cband, eband, Bprod, gap_drop, cand = score_ops.build_sheets_device(
             raw_i, w0, bias, IR, gap, min(ww), bands.L, min(ww),
             maxapart // res, min(ww))
         if backend == 'pallas':

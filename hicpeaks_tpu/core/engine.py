@@ -24,12 +24,28 @@ def _prep_chrom(bands: ChromBands, d_lo, d_hi, gap_s, mesh=None):
     mask) on device in one jit (ops/score.build_sheets_device).  The
     round-1 path built the sheets on the host and shipped ~5 slabs per
     chromosome — host→device transfer was the genome-scale bottleneck
-    (benchmarks/STAGE_PROFILE_r02.json)."""
-    raw = jnp.asarray(bands.raw)
-    cband, eband, Bprod, gap_drop, cand = score_ops.build_sheets_device(
-        raw, jnp.asarray(bands.w0), jnp.asarray(bands.bias),
-        jnp.asarray(bands.IR), jnp.asarray(bands.gap),
-        bands.ww_min, bands.L, d_lo, d_hi, gap_s)
+    (benchmarks/STAGE_PROFILE_r02.json).  Integer count slabs < 65536 ship
+    as uint16 (half the bytes of float32 — the transfer is the remaining
+    per-chromosome floor); the float32 slab is rebuilt on device."""
+    raw_host = bands.raw
+    if raw_host.dtype.kind == 'f':
+        compact = getattr(bands, '_raw_u16', None)
+        if compact is None:
+            compact = False
+            if raw_host.size and 0.0 <= float(raw_host.max()) < 65536.0:
+                candidate = raw_host.astype(np.uint16)
+                # round-trip equality rejects non-integral and negative
+                # counts (both wrap/truncate), so u16 transfer is lossless
+                if np.array_equal(candidate.astype(raw_host.dtype),
+                                  raw_host):
+                    compact = candidate
+            bands._raw_u16 = compact
+        if compact is not False:
+            raw_host = compact
+    raw, cband, eband, Bprod, gap_drop, cand = score_ops.build_sheets_device(
+        jnp.asarray(raw_host), jnp.asarray(bands.w0),
+        jnp.asarray(bands.bias), jnp.asarray(bands.IR),
+        jnp.asarray(bands.gap), bands.ww_min, bands.L, d_lo, d_hi, gap_s)
     IR = jnp.asarray(bands.IR)
     if mesh is not None:
         from ..parallel.tiles import shard_band

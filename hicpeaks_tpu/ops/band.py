@@ -43,12 +43,15 @@ class ChromBands:
     """
 
     def __init__(self, raw, IR, bias, w0, gap, L, num, res, chrom='',
-                 ww_min=0, sparse=None, cband=None):
+                 ww_min=0, sparse=None, cband=None, nanw=None):
         self.raw = raw          # [num_p, Lp] dtype
         self.IR = IR            # [num_p]
         self.bias = bias        # [Lp]
         self.w0 = w0            # [Lp]
         self.gap = gap          # [Lp] bool
+        self.nanw = nanw        # [Lp] bool — NaN weights (zero weights are
+                                # *not* NaN: they contribute 0 to diagonal
+                                # sums but stay in the mean's denominator)
         self.L = L
         self.num = num
         self.res = res

@@ -72,6 +72,10 @@ def build_sheets_device(raw, w0, bias, IR, gap, ww_min, L, d_lo, d_hi,
     * Bprod[d,x] = bias[x] * bias[x+d] (bias_product_host twin)
     * gap_drop   = gap_reject_device(gap, ...) (gap_reject_host twin)
     * cand[d,x]  = raw != 0 within d_lo <= d <= d_hi (engine._candidates)
+
+    ``raw`` may arrive as uint16 (integer Hi-C counts < 65536 — the engine
+    halves the slab transfer that way); the float32 slab every downstream
+    kernel consumes is rebuilt on device and returned first.
     """
     return _build_sheets_jit(raw, w0, bias, IR, gap, ww_min=int(ww_min),
                              L=int(L), d_lo=int(d_lo), d_hi=int(d_hi),
@@ -86,13 +90,14 @@ def _build_sheets_jit(raw, w0, bias, IR, gap, ww_min, L, d_lo, d_hi,
     drow = jnp.arange(num_p)[:, None]
     col = jnp.arange(Lp)[None, :]
 
+    raw = raw.astype(jnp.float32)
     cband = raw * w0[None, :] * shear_bcast(w0, num_p)
     cband = jnp.where(drow < ww_min, 0.0, cband)
     eband = jnp.where(col < (L - drow), IR[:, None], 0.0)
     Bprod = bias[None, :] * shear_bcast(bias, num_p)
     gap_drop = gap_reject_device(gap, num_p, L, gap_s)
     cand = (raw != 0) & (drow >= d_lo) & (drow <= d_hi)
-    return cband, eband, Bprod, gap_drop, cand
+    return raw, cband, eband, Bprod, gap_drop, cand
 
 
 def expected_observed(raw, cband, IR, Bprod, bSV, bEV, wi, cand_mask, L):

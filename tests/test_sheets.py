@@ -53,7 +53,7 @@ def test_device_sheets_match_host(seed):
     d_lo, d_hi = ww_min, 50
     gap_s = ww_min
 
-    cband_d, eband_d, Bprod_d, gapdrop_d, cand_d = [
+    raw_d, cband_d, eband_d, Bprod_d, gapdrop_d, cand_d = [
         np.asarray(a) for a in score_ops.build_sheets_device(
             jnp.asarray(bands.raw), jnp.asarray(bands.w0),
             jnp.asarray(bands.bias), jnp.asarray(bands.IR),
@@ -135,3 +135,33 @@ def test_gap_reject_device_edges(L, s):
     d = np.asarray(score_ops.gap_reject_device(jnp.asarray(gap), num_p, L, s))
     h = score_ops.gap_reject_host(gap, num_p, L, s)
     np.testing.assert_array_equal(d, h)
+
+
+def test_u16_slab_transfer_decision_and_parity():
+    """engine._prep_chrom ships integer count slabs < 65536 as uint16 and
+    rebuilds float32 on device; the decision must be lossless-only."""
+    from hicpeaks_tpu.core import engine
+
+    bands, _ = _random_chrom(4)
+    assert bands.raw.dtype.kind == 'f'
+    out_f = [np.asarray(a) for a in
+             engine._prep_chrom(bands, bands.ww_min, 50, bands.ww_min)]
+    # counts are integral < 65536 -> the compact slab must have been chosen
+    assert getattr(bands, '_raw_u16') is not False
+    assert bands._raw_u16.dtype == np.uint16
+    # device raw is float32 regardless of transfer dtype
+    assert out_f[0].dtype == np.float32
+    np.testing.assert_array_equal(out_f[0][:, :bands.raw.shape[1]],
+                                  bands.raw.astype(np.float32))
+
+    # non-integral counts must fall back to the float path
+    bands2, _ = _random_chrom(5)
+    bands2.raw = bands2.raw * 1.5
+    engine._prep_chrom(bands2, bands2.ww_min, 50, bands2.ww_min)
+    assert bands2._raw_u16 is False
+
+    # values >= 65536 must fall back too
+    bands3, _ = _random_chrom(6)
+    bands3.raw[bands3.raw > 0] += 70000.0
+    engine._prep_chrom(bands3, bands3.ww_min, 50, bands3.ww_min)
+    assert bands3._raw_u16 is False
