@@ -18,7 +18,8 @@ from .clustering import local_clustering
 from .config import BHFDRConfig, HiccupsConfig
 
 
-def _prep_chrom(bands: ChromBands, d_lo, d_hi, gap_s, mesh=None):
+def _prep_chrom(bands: ChromBands, d_lo, d_hi, gap_s, mesh=None,
+                ir_backend='host'):
     """Transfer one raw slab + O(L) vectors, then derive every dense sheet
     (balanced band, expected band, bias product, gap-reject, candidate
     mask) on device in one jit (ops/score.build_sheets_device).  The
@@ -42,11 +43,28 @@ def _prep_chrom(bands: ChromBands, d_lo, d_hi, gap_s, mesh=None):
             bands._raw_u16 = compact
         if compact is not False:
             raw_host = compact
+    if mesh is not None and ir_backend == 'device':
+        # psum'd diagonal means from the sharded slab (parallel/tiles.
+        # ir_sharded) — no controller reduction, the multi-host band-
+        # ingestion reduction.  The raw slab lands sharded and is reused
+        # below, so the transfer is not repeated.
+        from ..parallel.tiles import ir_sharded, shard_band
+        raw_sh = shard_band(jnp.asarray(raw_host), mesh)
+        IR = ir_sharded(raw_sh, jnp.asarray(bands.w0),
+                        jnp.asarray(bands.nanw), bands.L, bands.ww_min,
+                        bands.num, mesh)
+        if raw_sh.shape[1] != bands.w0.shape[0]:
+            # shard_band padded the columns to the mesh size; rebuild the
+            # sheets from the unpadded slab (rare: Lp is lane-padded to
+            # 128, which every mesh here divides)
+            raw_sh = None
+    else:
+        raw_sh = None
+        IR = jnp.asarray(bands.IR)
     raw, cband, eband, Bprod, gap_drop, cand = score_ops.build_sheets_device(
-        jnp.asarray(raw_host), jnp.asarray(bands.w0),
-        jnp.asarray(bands.bias), jnp.asarray(bands.IR),
+        jnp.asarray(raw_host) if raw_sh is None else raw_sh,
+        jnp.asarray(bands.w0), jnp.asarray(bands.bias), IR,
         jnp.asarray(bands.gap), bands.ww_min, bands.L, d_lo, d_hi, gap_s)
-    IR = jnp.asarray(bands.IR)
     if mesh is not None:
         from ..parallel.tiles import shard_band
         raw, cband, eband, Bprod, gap_drop, cand = (
@@ -347,15 +365,19 @@ def _capture_pass(raw, cband, eband, cand, allowed, plan, p_list, thr, mesh,
 
 
 def bhfdr_chrom(bands: ChromBands, cfg: BHFDRConfig, mesh=None,
-                scan_backend='auto', bh_backend='auto', check=False):
+                scan_backend='auto', bh_backend='auto', check=False,
+                ir_backend='host'):
     """Donut-only caller (reference callers.py:364-590).  Returns
     {(x_bp, y_bp): (cen_x_bp, cen_y_bp, radius_bp, O, Fold, p, q)}.
     With ``mesh`` the scan shards band tiles across devices with halo
-    exchange and psum-reduced freeze counts."""
+    exchange and psum-reduced freeze counts; ``ir_backend='device'``
+    additionally derives the distance-expected IR with a psum over the
+    sharded slab instead of reading the controller's."""
     res = bands.res
     L, num = bands.L, bands.num
     raw, cband, eband, IR, Bprod, gap_drop, cand = _prep_chrom(
-        bands, cfg.ww, cfg.maxapart // res, cfg.ww, mesh)
+        bands, cfg.ww, cfg.maxapart // res, cfg.ww, mesh,
+        ir_backend=ir_backend)
 
     plan = tuple(poolplan.bhfdr_pool_plan(cfg.pw, cfg.ww, cfg.maxww))
     total = bands.candidate_total(cfg.ww, cfg.maxapart // res)
@@ -387,16 +409,19 @@ def bhfdr_chrom(bands: ChromBands, cfg: BHFDRConfig, mesh=None,
 
 
 def hiccups_chrom(bands: ChromBands, cfg: HiccupsConfig, mesh=None,
-                  scan_backend='auto', bh_backend='auto', check=False):
+                  scan_backend='auto', bh_backend='auto', check=False,
+                  ir_backend='host'):
     """Two-background multi-parameter caller (reference callers.py:44-362).
     Returns {(x_bp, y_bp): (cen_x, cen_y, radius, O, FoldK, pK, qK,
     FoldY, pY, qY)} in bp.  With ``mesh`` the scan shards band tiles
-    across devices (halo exchange + psum'd freeze counts)."""
+    across devices (halo exchange + psum'd freeze counts);
+    ``ir_backend='device'`` derives IR with a psum over the sharded slab."""
     res = bands.res
     L, num = bands.L, bands.num
     pw, ww = tuple(cfg.pw), tuple(cfg.ww)
     raw, cband, eband, IR, Bprod, gap_drop, cand = _prep_chrom(
-        bands, min(ww), cfg.maxapart // res, min(ww), mesh)
+        bands, min(ww), cfg.maxapart // res, min(ww), mesh,
+        ir_backend=ir_backend)
 
     plan = tuple(poolplan.hiccups_pool_plan(pw, ww, cfg.maxww))
     p_list = tuple(sorted(set(pw)))

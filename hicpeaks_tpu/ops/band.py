@@ -136,10 +136,13 @@ def build_bands(bin1, bin2, count, weights, L, num, ww_min, res, chrom='',
     bias[:L][valid] = 1.0 / w[valid]
     w0 = np.zeros(Lp, np.float64)
     w0[:L][valid] = w[valid]
+    nanw = np.zeros(Lp, bool)
+    nanw[:L] = np.isnan(w)
 
     return ChromBands(raw=raw, IR=IR.astype(dtype), bias=bias.astype(dtype),
                       w0=w0.astype(dtype), gap=gap, L=L, num=num, res=res,
-                      chrom=chrom, ww_min=ww_min, sparse=(dd, b1, cvals, ct))
+                      chrom=chrom, ww_min=ww_min, sparse=(dd, b1, cvals, ct),
+                      nanw=nanw)
 
 
 def bands_from_cooler(clr, chrom, maxapart, maxww, ww_min, dtype=np.float32,

@@ -62,6 +62,62 @@ def _zero_halo(x, H):
     return jnp.concatenate([pad, x, pad], axis=1)
 
 
+def ir_sharded(raw, w0, nanw, L, ww_min, num, mesh):
+    """Per-diagonal NaN-aware means (ops/band.build_bands' ``IR``) computed
+    from the tile-sharded raw slab with one ``psum`` — the reduction that
+    lets a multi-host run ingest band columns per host instead of building
+    whole-chromosome bands on the controller (SURVEY §2.6's distance-
+    expected, reference worker `scripts/pyHICCUPS:146-166`).
+
+    Semantics pinned to the host builder: the balanced diagonal sum counts
+    structural zeros in the denominator, subtracts only *nonzero* pixels
+    whose weight product is NaN (zero weights stay in the denominator),
+    divides with IEEE propagation (0/0 -> nan like numpy's errstate path),
+    and zeroes rows ``< ww_min`` and ``>= num``.
+
+    ``raw`` is sharded ``P(None, 'tiles')``; ``w0``/``nanw`` are the O(L)
+    replicated vectors, padded to ``raw.shape[1]``.  Returns a replicated
+    [num_p] vector in ``w0.dtype``.
+    """
+    from ..ops.score import shear_bcast
+
+    num_p, Lp = raw.shape
+    w0 = jnp.asarray(w0)
+    nanw = jnp.asarray(nanw)
+    if w0.shape[0] < Lp:
+        w0 = jnp.pad(w0, (0, Lp - w0.shape[0]))
+        nanw = jnp.pad(nanw, (0, Lp - nanw.shape[0]))
+
+    @functools.partial(shard_map, mesh=mesh,
+                       in_specs=(P(None, HALO_AXIS), P(), P()),
+                       out_specs=P(),
+                       check_rep=False)
+    def run(raw_l, w0_g, nanw_g):
+        T = raw_l.shape[1]
+        c0 = jax.lax.axis_index(HALO_AXIS) * T
+        # local slice [c0, c0+T+num_p) of each replicated vector: column i
+        # needs w[c0+i] and w[c0+i+d] for d < num_p
+        wsl = jax.lax.dynamic_slice(
+            jnp.concatenate([w0_g, jnp.zeros(num_p, w0_g.dtype)]),
+            (c0,), (T + num_p,))
+        nsl = jax.lax.dynamic_slice(
+            jnp.concatenate([nanw_g, jnp.zeros(num_p, nanw_g.dtype)]),
+            (c0,), (T + num_p,))
+        wxd = shear_bcast(wsl, num_p)[:, :T]        # w[c0+i+d]
+        nxd = shear_bcast(nsl, num_p)[:, :T]
+        rawf = raw_l.astype(w0_g.dtype)
+        cb = rawf * wsl[None, :T] * wxd
+        nanmask = (raw_l != 0) & (nsl[None, :T] | nxd)
+        csum = jax.lax.psum(cb.sum(axis=1), HALO_AXIS)
+        nancnt = jax.lax.psum(nanmask.sum(axis=1), HALO_AXIS)
+        d = jnp.arange(num_p)
+        denom = jnp.maximum(L - d, 0).astype(csum.dtype) - nancnt
+        IR = csum / denom
+        return jnp.where((d < ww_min) | (d >= num), 0.0, IR)
+
+    return jax.jit(run)(raw, w0, nanw)
+
+
 def scan_pass_a_sharded(raw, cand_mask, plan, p_list, thr, mesh):
     """Sharded freeze-count pass; returns globally psum-reduced counts."""
     n = mesh.devices.size

@@ -48,3 +48,40 @@ def test_sharded_hiccups_matches_single_device(synth):
     for k in single:
         np.testing.assert_allclose(np.asarray(single[k], float),
                                    np.asarray(sharded[k], float), rtol=1e-12)
+
+
+def test_ir_sharded_matches_host_builder(synth):
+    """parallel/tiles.ir_sharded (psum'd NaN-aware diagonal means from the
+    tile-sharded slab) equals ops/band.build_bands' controller IR exactly
+    in f64 — including the zero-weight-stays-in-denominator rule and the
+    ww_min/num row zeroing."""
+    import jax.numpy as jnp
+    from hicpeaks_tpu.parallel.tiles import ir_sharded, shard_band
+
+    clr, _ = synth
+    bands = bands_from_cooler(clr, '21', 2000000, 8, 3, dtype=np.float64)
+    assert bands.nanw is not None and bands.nanw.any()
+    mesh = make_tile_mesh(8)
+    raw_sh = shard_band(jnp.asarray(bands.raw), mesh)
+    ir_dev = np.asarray(ir_sharded(raw_sh, jnp.asarray(bands.w0),
+                                   jnp.asarray(bands.nanw), bands.L,
+                                   bands.ww_min, bands.num, mesh))
+    host = np.asarray(bands.IR, np.float64)
+    # identical finite values; matching nan positions (0/0 diagonals)
+    np.testing.assert_allclose(ir_dev, host, rtol=1e-12, equal_nan=True)
+
+
+def test_sharded_hiccups_device_ir_matches_single_device(synth):
+    clr, _ = synth
+    cfg = HiccupsConfig(pw=(1, 2), ww=(3, 5), maxww=8, maxapart=2000000,
+                        min_marginal_peaks=2, min_local_reads=16)
+    bands = bands_from_cooler(clr, '21', cfg.maxapart, cfg.maxww, 3,
+                              dtype=np.float64)
+    single = engine.hiccups_chrom(bands, cfg)
+    mesh = make_tile_mesh(8)
+    sharded = engine.hiccups_chrom(bands, cfg, mesh=mesh,
+                                   ir_backend='device')
+    assert set(single) == set(sharded)
+    for k in single:
+        np.testing.assert_allclose(np.asarray(single[k], float),
+                                   np.asarray(sharded[k], float), rtol=1e-9)
