@@ -65,3 +65,27 @@ def test_validate_scan_backend(tmp_path):
     out = api.call_bhfdr(uri, cfg, chroms=['1'], dtype=np.float32,
                          scan_backend='validate')
     assert '1' in out
+
+
+def test_pipelined_loader_failure_propagates(tmp_path, monkeypatch):
+    """The prefetch thread's band-build failure must surface as the run's
+    exception (not a hang or a silent skip), and the thread must exit."""
+    import threading
+    import pytest
+
+    uri = _two_chrom_cooler(str(tmp_path / 'f.cool'))
+    cfg = BHFDRConfig(pw=1, ww=3, maxww=8, maxapart=1500000)
+
+    real = api.bands_from_cooler
+
+    def boom(clr, key, *a, **k):
+        if key.lstrip('chr') == '2':
+            raise RuntimeError('synthetic ingest failure')
+        return real(clr, key, *a, **k)
+
+    monkeypatch.setattr(api, 'bands_from_cooler', boom)
+    before = threading.active_count()
+    with pytest.raises(RuntimeError, match='synthetic ingest failure'):
+        api.call_bhfdr(uri, cfg, dtype=np.float64)
+    # loader thread exited (no leak across runs)
+    assert threading.active_count() <= before
