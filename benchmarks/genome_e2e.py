@@ -1,0 +1,169 @@
+#!/usr/bin/env python
+"""End-to-end genome benchmark through the production API.
+
+Builds a synthetic multi-chromosome cooler at the reference's K562 10Kb
+benchmark shape (chr1-scale chromosomes, maxapart=10Mb -> 1011 diagonals)
+and runs ``api.call_hiccups`` over it — the same orchestration path the
+pyHICCUPS CLI drives: pipelined band ingestion (prefetch thread), device
+sheet derivation, Pallas passes, fused two-background scoring, histogram
+BH, controller clustering.
+
+The first pass warms the in-process jit caches (one compile per shape
+bucket); the second pass is the measured genome run.  The result
+extrapolates the steady per-chromosome wall to a 23-chromosome genome
+and compares against the reference's published whole-genome wall clock
+(README.rst:291 — pyHICCUPS 1:57:33 = 7053 s for K562 10Kb).
+
+Env knobs: GE_CHROMS (default 4), GE_L (default 24900 bins),
+GE_TIMEOUT (watchdog seconds), GE_BACKEND (auto|pallas|jnp).
+"""
+import json
+import os
+import resource
+import sys
+import time
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+OUT_PATH = os.path.join(HERE, 'GENOME_E2E_r02.json')
+
+
+def log(msg):
+    print(f'[genome-e2e] {msg}', file=sys.stderr, flush=True)
+
+
+def _watchdog(seconds):
+    import signal
+    import threading
+
+    def fire(*_):
+        log(f'WATCHDOG after {seconds}s — tunnel unresponsive')
+        print(json.dumps({'metric': 'genome-e2e (TIMED OUT)',
+                          'value': 0.0, 'unit': 's'}), flush=True)
+        os._exit(2)
+
+    signal.signal(signal.SIGALRM, fire)
+    signal.alarm(seconds)
+    t = threading.Timer(seconds + 60, fire)
+    t.daemon = True   # must not keep the process alive after main() returns
+    t.start()
+
+    def disarm():
+        signal.alarm(0)
+        t.cancel()
+
+    return disarm
+
+
+def main():
+    t_all = time.time()
+    disarm = _watchdog(int(os.environ.get('GE_TIMEOUT', 3000)))
+    os.environ.setdefault('JAX_COMPILATION_CACHE_DIR',
+                          os.path.join(os.path.dirname(HERE), '.jax_cache'))
+    import jax
+    if os.environ.get('GE_CPU') == '1':   # smoke-test mode
+        jax.config.update('jax_platforms', 'cpu')
+
+    from hicpeaks_tpu import api
+    from hicpeaks_tpu.core.config import HiccupsConfig
+    from hicpeaks_tpu.io.coolerlite import (CoolerLite, binnify,
+                                            create_cooler_file)
+    from hicpeaks_tpu.io.synth import synthesize_chrom
+
+    log(f'devices: {jax.devices()}')
+    backend = os.environ.get('GE_BACKEND', 'auto')
+    n_chroms = int(os.environ.get('GE_CHROMS', 4))
+    L = int(os.environ.get('GE_L', 24900))
+    res = 10000
+    maxapart = int(os.environ.get('GE_MAXAPART', 10_000_000))
+    maxww = 10
+    n_loops = int(os.environ.get('GE_LOOPS', 2000))
+    num = maxapart // res + maxww + 1
+    cfg = HiccupsConfig(pw=(2,), ww=(5,), maxww=maxww, maxapart=maxapart)
+
+    path = '/tmp/genome_e2e.cool'
+    if os.path.exists(path):
+        os.remove(path)
+    uri = f'{path}::{res}'
+    t0 = time.time()
+    sizes, chunks, weights = {}, [], []
+    offset = 0
+    total_contacts = 0
+    for i in range(n_chroms):
+        c = str(i + 1)
+        b1, b2, ct, _, bias = synthesize_chrom(
+            n_bins=L, res=res, seed=100 + i, depth=40.0, n_loops=n_loops,
+            decay=0.75, max_loop_span_bins=num - maxww - 54)
+        sizes[c] = L * res
+        chunks.append({'bin1_id': b1 + offset, 'bin2_id': b2 + offset,
+                       'count': ct})
+        w = np.full(L, np.nan)
+        ok = bias > 0
+        w[ok] = 1.0 / bias[ok]
+        weights.append(w)
+        offset += L
+        total_contacts += int(ct.size)
+    create_cooler_file(uri, binnify(sizes, res), chunks,
+                       metadata={'onlyIntra': 'True'})
+    CoolerLite(uri).write_weights(np.concatenate(weights))
+    t_synth = time.time() - t0
+    log(f'{n_chroms}-chromosome cooler ({total_contacts} contacts) '
+        f'built in {t_synth:.0f}s')
+
+    def run():
+        return api.call_hiccups(uri, cfg, chroms=['#'],
+                                scan_backend=backend, shape_bucket=4096)
+
+    t0 = time.time()
+    tables = run()
+    t_warm = time.time() - t0
+    peaks = sum(len(t) for t in tables.values())
+    log(f'warm pass (compile + run): {t_warm:.1f}s, {peaks} peaks '
+        f'on {sorted(tables)}')
+
+    t0 = time.time()
+    tables2 = run()
+    t_genome = time.time() - t0
+    log(f'measured pass (steady, pipelined): {t_genome:.1f}s')
+
+    per_chrom = t_genome / n_chroms
+    genome23 = per_chrom * 23
+    ref_wall = 7053.0
+    rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    result = {
+        'config': {'n_chroms': n_chroms, 'L': L, 'res': res,
+                   'maxapart': maxapart, 'num': num, 'pw': [2], 'ww': [5],
+                   'backend': backend, 'contacts': total_contacts},
+        'synth_and_ingest_s': round(t_synth, 1),
+        'warm_pass_s': round(t_warm, 1),
+        'steady_genome_pass_s': round(t_genome, 1),
+        'steady_per_chrom_s': round(per_chrom, 2),
+        'extrapolated_23_chrom_genome_s': round(genome23, 1),
+        'reference_genome_wall_s': ref_wall,
+        'vs_reference_wall': round(ref_wall / genome23, 1),
+        'peaks': peaks,
+        'passes_identical': tables == tables2,
+        'peak_rss_gb': round(rss_gb, 2),
+        'total_wall_s': round(time.time() - t_all, 1),
+    }
+    disarm()
+    with open(OUT_PATH, 'w') as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps({'metric': 'genome-e2e 23-chrom extrapolated wall',
+                      'value': result['extrapolated_23_chrom_genome_s'],
+                      'unit': 's',
+                      'vs_baseline': result['vs_reference_wall']}),
+          flush=True)
+
+
+if __name__ == '__main__':
+    try:
+        main()
+    except Exception as e:
+        import traceback
+        traceback.print_exc(file=sys.stderr)
+        print(json.dumps({'metric': f'genome-e2e (FAILED: '
+                                    f'{type(e).__name__})', 'value': 0.0}),
+              flush=True)
+        sys.exit(3)

@@ -42,12 +42,20 @@ def _watchdog(seconds):
 
     signal.signal(signal.SIGALRM, fire)
     signal.alarm(seconds)
-    threading.Timer(seconds + 60, fire).start()
+    t = threading.Timer(seconds + 60, fire)
+    t.daemon = True   # must not keep the process alive after main() returns
+    t.start()
+
+    def disarm():
+        signal.alarm(0)
+        t.cancel()
+
+    return disarm
 
 
 def main():
     t_all = time.time()
-    _watchdog(int(os.environ.get('GS_TIMEOUT', 3000)))
+    disarm = _watchdog(int(os.environ.get('GS_TIMEOUT', 3000)))
     os.environ.setdefault('JAX_COMPILATION_CACHE_DIR',
                           os.path.join(os.path.dirname(os.path.dirname(
                               os.path.abspath(__file__))), '.jax_cache'))
@@ -130,6 +138,7 @@ def main():
         'total_wall_s': round(time.time() - t_all, 1),
         'parity_runs_identical': table == table2,
     }
+    disarm()
     with open(OUT_PATH, 'w') as f:
         json.dump(result, f, indent=1)
     print(json.dumps({'metric': 'genome-scale hiccups pixels/s',

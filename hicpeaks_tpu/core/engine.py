@@ -192,6 +192,48 @@ def _score_device_compact_pair(raw, cband, IR, Bprod, KS, KE, YS, YE, cand,
     return outK, outY
 
 
+@functools.partial(jax.jit, static_argnames=('wis', 'L', 'chunked', 'o_cap',
+                                             'keep_cap'))
+def _score_device_compact_multi(raw, cband, IR, Bprod, caps, cand, gap_drop,
+                                sig, wis, L, chunked, o_cap=None,
+                                keep_cap=_KEEP_CAP):
+    """Every (p, w) pair's two backgrounds scored in ONE program: the
+    multi-parameter union (callers.py:132-232,345-349) then costs a single
+    dispatch + fetch round trip per chromosome instead of one per pair,
+    and XLA shares the candidate/valid/iota subexpressions across pairs."""
+    out = []
+    for (KS, KE, YS, YE), wi in zip(caps, wis):
+        out.append((
+            _compact_one(raw, cband, IR, Bprod, KS, KE, cand, gap_drop,
+                         sig, wi, L, chunked, o_cap, keep_cap),
+            _compact_one(raw, cband, IR, Bprod, YS, YE, cand, gap_drop,
+                         sig, wi, L, chunked, o_cap, keep_cap)))
+    return tuple(out)
+
+
+def _score_all_pairs(raw, cband, IR, Bprod, outs, pairs, cand, L, sig,
+                     gap_drop, bh_backend, max_count):
+    """Fused scoring of every (p, w) pair in one device program + one host
+    fetch.  Returns a list of (rK, rY) aligned with ``pairs`` (entries are
+    None on keep-cap overflow), or None when the fused path does not
+    apply (host BH) — callers fall back per pair."""
+    backend, o_cap = _bh_plan(True, bh_backend, max_count)
+    if backend != 'device' or o_cap is None:
+        return None
+    caps = tuple(tuple(outs[pi]) for pi, _ in pairs)
+    dev = _score_device_compact_multi(
+        raw, cband, IR, Bprod, caps, cand, gap_drop, sig,
+        wis=tuple(int(wi) for _, wi in pairs), L=int(L), chunked=True,
+        o_cap=o_cap)
+    fetched = jax.device_get(tuple((oK[:8], oY[:8]) for oK, oY in dev))
+    results = []
+    for (fK, fY), (oK, oY) in zip(fetched, dev):
+        rK = _compact_to_host(fK, oK[8])
+        rY = _compact_to_host(fY, oY[8])
+        results.append(None if rK is None or rY is None else (rK, rY))
+    return results
+
+
 @jax.jit
 def _gather_pairs(a, d_idx, x_idx):
     """Tiny device gather for postcheck lookups into a resident dense
@@ -437,13 +479,25 @@ def hiccups_chrom(bands: ChromBands, cfg: HiccupsConfig, mesh=None,
 
     max_count = float(bands.raw.max())
 
+    pairs = list(zip(pw, ww))
+    multi = None
+    if not check and len(pairs) > 1:
+        multi = _score_all_pairs(raw, cband, IR, Bprod, outs, pairs, cand,
+                                 L, cfg.siglevel, gap_drop, bh_backend,
+                                 max_count)
+
     pixel_table = {}
-    for pi, wi in zip(pw, ww):
+    for pair_idx, (pi, wi) in enumerate(pairs):
         KS, KE, YS, YE = outs[pi]
-        pair = None if check else _score_pair(
-            raw, cband, IR, Bprod, KS, KE, YS, YE, wi, cand,
-            L, cfg.siglevel, gap_drop, bh_backend=bh_backend,
-            max_count=max_count)
+        if multi is not None:
+            pair = multi[pair_idx]
+        elif check:
+            pair = None
+        else:
+            pair = _score_pair(
+                raw, cband, IR, Bprod, KS, KE, YS, YE, wi, cand,
+                L, cfg.siglevel, gap_drop, bh_backend=bh_backend,
+                max_count=max_count)
         if pair is not None:
             rK, rY = pair
         else:
