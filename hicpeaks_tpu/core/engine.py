@@ -118,12 +118,17 @@ def _compact_one(raw, cband, IR, Bprod, bSV, bEV, cand, gap_drop, sig, wi,
     scorers."""
     E, O, ICE, Fold, scored, prod = score_ops.expected_observed(
         raw, cband, IR, Bprod, bSV, bEV, wi, cand, L)
+    pval = None
     if chunked:
         cid, rv, valid = score_ops.lambda_chunks(E, scored)
-        pval = jnp.where(valid, score_ops.poisson_sf(O, rv), 1.0)
         if o_cap is not None:
+            # histogram BH decides `keep` from (chunk, count) alone, so the
+            # dense per-pixel gammainc (iterative, VPU-bound — the single
+            # largest cost of the scoring program at genome scale) is
+            # deferred to the <= keep_cap compacted pixels below
             qval = score_ops.chunk_bh_histogram(O, cid, valid, o_cap=o_cap)
         else:
+            pval = jnp.where(valid, score_ops.poisson_sf(O, rv), 1.0)
             qval = score_ops.segmented_bh(pval, cid, valid)
     else:
         valid = scored
@@ -133,8 +138,14 @@ def _compact_one(raw, cband, IR, Bprod, bSV, bEV, cand, gap_drop, sig, wi,
     keep = scored & (qval <= sig) & ~gap_drop
     cnt, d_idx, x_idx = score_ops.compact_mask(keep, keep_cap)
     g = lambda a: a[d_idx, x_idx]
+    if pval is None:
+        # bitwise-identical to gathering the dense sheet: gammainc is
+        # elementwise, evaluated here on the same (O, rv) values
+        p_small = jnp.where(g(valid), score_ops.poisson_sf(g(O), g(rv)), 1.0)
+    else:
+        p_small = g(pval)
     return (cnt, d_idx, x_idx,
-            g(O), g(ICE), g(Fold), g(pval), g(qval), prod)
+            g(O), g(ICE), g(Fold), p_small, g(qval), prod)
 
 
 @functools.partial(jax.jit, static_argnames=('wi', 'L', 'chunked', 'o_cap',
