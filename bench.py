@@ -62,6 +62,7 @@ def main():
                               os.path.abspath(__file__)), '.jax_cache'))
     import jax
     import jax.numpy as jnp
+    from hicpeaks_tpu.core import engine as engine_mod
     from hicpeaks_tpu.core import poolplan
     from hicpeaks_tpu.io.synth import synthesize_chrom
     from hicpeaks_tpu.ops import scan as scan_ops
@@ -163,15 +164,16 @@ def main():
         acc = counts.sum().astype(jnp.float32)
         n_keep = jnp.int32(0)
         for bSV, bEV in ((KS, KE), (YS, YE)):
-            E, O, ICE, Fold, scored, prod = score_ops.expected_observed(
-                raw_i, cband, IR, Bprod, bSV, bEV, ww[0], cand, bands.L)
-            cid, rv, valid = score_ops.lambda_chunks(E, scored)
-            pval = jnp.where(valid, score_ops.poisson_sf(O, rv), 1.0)
-            # sort-free lambda-chunk histogram BH (the production path)
-            qval = score_ops.chunk_bh_histogram(O, cid, valid, o_cap=o_cap)
-            keep = scored & (qval <= 0.05) & ~gap_drop
-            n_keep = n_keep + keep.sum().astype(jnp.int32)
-            acc = acc + qval.sum().astype(jnp.float32)
+            # the production compact scorer: threshold-form histogram BH
+            # decides keep densely; p/q/stats are computed only for the
+            # compacted pixels (engine._compact_one)
+            out = engine_mod._compact_one(
+                raw_i, cband, IR, Bprod, bSV, bEV, cand, gap_drop,
+                jnp.float32(0.05), ww[0], bands.L, True, o_cap,
+                engine_mod._KEEP_CAP)
+            n_keep = n_keep + out[0]
+            acc = acc + out[7].sum().astype(jnp.float32) \
+                + out[6].sum().astype(jnp.float32)
         return acc * 0.0, n_keep
 
     args = (raw, w0, bias, IR, gap, allowed)

@@ -108,8 +108,13 @@ def _score_device(raw, cband, IR, Bprod, bSV, bEV, cand, gap_drop, sig,
     return pval, cid, valid, qval, keep, scored, O, ICE, Fold, prod
 
 
-_KEEP_CAP = 1 << 17    # kept-pixel compaction bound (pre-clustering
+_KEEP_CAP = 1 << 17    # kept-pixel compaction hard bound (pre-clustering
                        # significant candidates are 1e2-1e5 in practice)
+_KEEP_CAP_FAST = 1 << 15   # first-attempt cap: the compact search and the
+                           # per-stat gathers scale with the cap (~50ms/bg
+                           # at 1<<17 on hardware), and overflow just
+                           # retries with the hard bound (one extra
+                           # compile per shape bucket, then cached)
 
 
 def _compact_one(raw, cband, IR, Bprod, bSV, bEV, cand, gap_drop, sig, wi,
@@ -118,15 +123,19 @@ def _compact_one(raw, cband, IR, Bprod, bSV, bEV, cand, gap_drop, sig, wi,
     scorers."""
     E, O, ICE, Fold, scored, prod = score_ops.expected_observed(
         raw, cband, IR, Bprod, bSV, bEV, wi, cand, L)
-    pval = None
+    pval = qval = None
     if chunked:
         cid, rv, valid = score_ops.lambda_chunks(E, scored)
         if o_cap is not None:
-            # histogram BH decides `keep` from (chunk, count) alone, so the
-            # dense per-pixel gammainc (iterative, VPU-bound — the single
-            # largest cost of the scoring program at genome scale) is
-            # deferred to the <= keep_cap compacted pixels below
-            qval = score_ops.chunk_bh_histogram(O, cid, valid, o_cap=o_cap)
+            # histogram BH decides `keep` from (chunk, count) alone via a
+            # per-chunk count threshold, so neither the dense per-pixel
+            # gammainc (iterative, VPU-bound) nor the dense q-selection
+            # matmul (S*pixels*o_cap f32 MACs — together the two largest
+            # costs of the scoring program at genome scale) runs over the
+            # full sheet; both are deferred to the <= keep_cap compacted
+            # pixels below
+            keep_q, qtab = score_ops.chunk_bh_keep(O, E, cid, valid, sig,
+                                                   o_cap=o_cap)
         else:
             pval = jnp.where(valid, score_ops.poisson_sf(O, rv), 1.0)
             qval = score_ops.segmented_bh(pval, cid, valid)
@@ -135,17 +144,26 @@ def _compact_one(raw, cband, IR, Bprod, bSV, bEV, cand, gap_drop, sig, wi,
         pval = jnp.where(scored, score_ops.poisson_sf(O, E), 1.0)
         qval = score_ops.segmented_bh(pval, jnp.ones(E.shape, jnp.int32),
                                       valid)
-    keep = scored & (qval <= sig) & ~gap_drop
+    if qval is None:
+        keep = scored & keep_q & ~gap_drop
+    else:
+        keep = scored & (qval <= sig) & ~gap_drop
     cnt, d_idx, x_idx = score_ops.compact_mask(keep, keep_cap)
     g = lambda a: a[d_idx, x_idx]
     if pval is None:
-        # bitwise-identical to gathering the dense sheet: gammainc is
-        # elementwise, evaluated here on the same (O, rv) values
-        p_small = jnp.where(g(valid), score_ops.poisson_sf(g(O), g(rv)), 1.0)
+        # bitwise-identical to gathering the dense sheets: gammainc is
+        # elementwise on the same (O, rv) values, and qtab[cid, floor(O)]
+        # is exactly what the dense selection matmul picks per pixel
+        v_g = g(valid)
+        p_small = jnp.where(v_g, score_ops.poisson_sf(g(O), g(rv)), 1.0)
+        oc_g = jnp.clip(jnp.floor(g(O)).astype(jnp.int32), 0, o_cap)
+        cid_g = jnp.clip(g(cid), 0, qtab.shape[0] - 1)
+        q_small = jnp.where(v_g, qtab[cid_g, oc_g], 1.0)
     else:
         p_small = g(pval)
+        q_small = g(qval)
     return (cnt, d_idx, x_idx,
-            g(O), g(ICE), g(Fold), p_small, g(qval), prod)
+            g(O), g(ICE), g(Fold), p_small, q_small, prod)
 
 
 @functools.partial(jax.jit, static_argnames=('wi', 'L', 'chunked', 'o_cap',
@@ -271,12 +289,12 @@ def _bh_plan(chunked, bh_backend, max_count):
     return bh_backend, o_cap
 
 
-def _compact_to_host(fetched, prod):
+def _compact_to_host(fetched, prod, cap=_KEEP_CAP):
     """(cnt, idx..., stats...) device bundle -> host dict, or None on
     keep-cap overflow."""
     cnt, d_idx, x_idx, Ov, ICEv, Foldv, pv, qv = fetched
     n = int(cnt)
-    if n > _KEEP_CAP:
+    if n > cap:
         return None
     d_idx, x_idx = d_idx[:n], x_idx[:n]
     return dict(x=x_idx, y=x_idx + d_idx, O=Ov[:n], ICE=ICEv[:n],
@@ -292,15 +310,16 @@ def _score_pair(raw, cband, IR, Bprod, KS, KE, YS, YE, wi, cand, L, sig,
     backend, o_cap = _bh_plan(True, bh_backend, max_count)
     if backend != 'device' or o_cap is None:
         return None
-    outK, outY = _score_device_compact_pair(
-        raw, cband, IR, Bprod, KS, KE, YS, YE, cand, gap_drop, sig,
-        wi=int(wi), L=int(L), chunked=True, o_cap=o_cap)
-    fK, fY = jax.device_get((outK[:8], outY[:8]))   # one bundled transfer
-    rK = _compact_to_host(fK, outK[8])
-    rY = _compact_to_host(fY, outY[8])
-    if rK is None or rY is None:
-        return None
-    return rK, rY
+    for cap in (_KEEP_CAP_FAST, _KEEP_CAP):
+        outK, outY = _score_device_compact_pair(
+            raw, cband, IR, Bprod, KS, KE, YS, YE, cand, gap_drop, sig,
+            wi=int(wi), L=int(L), chunked=True, o_cap=o_cap, keep_cap=cap)
+        fK, fY = jax.device_get((outK[:8], outY[:8]))  # one bundled transfer
+        rK = _compact_to_host(fK, outK[8], cap)
+        rY = _compact_to_host(fY, outY[8], cap)
+        if rK is not None and rY is not None:
+            return rK, rY
+    return None
 
 
 def _score_one(raw, cband, IR, Bprod, bSV, bEV, wi, cand, L, sig, gap_drop,
@@ -314,22 +333,25 @@ def _score_one(raw, cband, IR, Bprod, bSV, bEV, wi, cand, L, sig, gap_drop,
     if check:
         bh_backend = 'device'   # the instrumented program is the device one
     if bh_backend == 'device':
-        if check:
-            err, out = _score_device_compact_checked(
-                raw, cband, IR, Bprod, bSV, bEV, cand, gap_drop, sig,
-                wi=int(wi), L=int(L), chunked=chunked, o_cap=o_cap)
-            err.throw()
-        else:
-            out = _score_device_compact(
-                raw, cband, IR, Bprod, bSV, bEV, cand, gap_drop, sig,
-                wi=int(wi), L=int(L), chunked=chunked, o_cap=o_cap)
-        cnt, d_idx, x_idx, Ov, ICEv, Foldv, pv, qv = \
-            jax.device_get(out[:8])     # one bundled host transfer
-        n = int(cnt)
-        if n <= _KEEP_CAP:
-            d_idx, x_idx = d_idx[:n], x_idx[:n]
-            return dict(x=x_idx, y=x_idx + d_idx, O=Ov[:n], ICE=ICEv[:n],
-                        Fold=Foldv[:n], p=pv[:n], q=qv[:n], prod=out[8])
+        for cap in (_KEEP_CAP_FAST, _KEEP_CAP):
+            if check:
+                err, out = _score_device_compact_checked(
+                    raw, cband, IR, Bprod, bSV, bEV, cand, gap_drop, sig,
+                    wi=int(wi), L=int(L), chunked=chunked, o_cap=o_cap,
+                    keep_cap=cap)
+                err.throw()
+            else:
+                out = _score_device_compact(
+                    raw, cband, IR, Bprod, bSV, bEV, cand, gap_drop, sig,
+                    wi=int(wi), L=int(L), chunked=chunked, o_cap=o_cap,
+                    keep_cap=cap)
+            cnt, d_idx, x_idx, Ov, ICEv, Foldv, pv, qv = \
+                jax.device_get(out[:8])     # one bundled host transfer
+            n = int(cnt)
+            if n <= cap:
+                d_idx, x_idx = d_idx[:n], x_idx[:n]
+                return dict(x=x_idx, y=x_idx + d_idx, O=Ov[:n], ICE=ICEv[:n],
+                            Fold=Foldv[:n], p=pv[:n], q=qv[:n], prod=out[8])
         # cap overflow (pathological siglevel/data): dense fallback below
 
     pval, cid, valid, qval, keep, scored, O, ICE, Fold, prod = _score_device(

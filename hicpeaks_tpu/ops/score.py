@@ -321,44 +321,125 @@ def chunk_bh_histogram(O, cid, valid, n_chunks=128, o_cap=32768):
     """
     shape = O.shape
     S, C = n_chunks, o_cap + 1
-    Oc = jnp.clip(jnp.floor(O).astype(jnp.int32), 0, o_cap).ravel()
-    cidc = jnp.clip(cid, 0, S - 1).ravel()
-    vv = valid.ravel()
+    Oc_p, cid_p, n = _chunk_pack(O, cid, valid, S, C)
+    qtab = _chunk_qtab(Oc_p, cid_p, S, C, O.dtype)
+    s_iota = jnp.arange(S, dtype=jnp.int32)
+    c_iota = jnp.arange(C, dtype=jnp.int32)
 
-    # Histogram and table lookup as one-hot matmuls over pixel chunks
-    # (MXU work): scatter-add with duplicate indices and large gathers both
-    # lower pathologically on TPU; 0/1 one-hot arithmetic in bf16 with f32
-    # accumulation is bit-exact per step (CH <= 8192 < 2^24), and the
+    def lookup_step(_, xs):
+        # HIGHEST precision: TPU's default f32 matmul truncates operands
+        # to bf16, which silently rounded the selected q to ~3 digits
+        # (hardware-observed vs the f64 host BH); at HIGHEST the bf16x
+        # decomposition is exact, so the one-hot picks the qtab entry
+        # bit-exactly (invalid pixels read trash row 0, masked below)
+        oc, cc = xs
+        oh_s = (cc[:, None] == s_iota[None, :]).astype(O.dtype)
+        oh_o = (oc[:, None] == c_iota[None, :]).astype(O.dtype)
+        rows = jnp.dot(oh_s, qtab, preferred_element_type=O.dtype,
+                       precision=jax.lax.Precision.HIGHEST)
+        q = jnp.sum(rows * oh_o, axis=1)
+        return None, q
+
+    _, q_chunks = jax.lax.scan(lookup_step, None, (Oc_p, cid_p))
+    q = q_chunks.reshape(-1)[:n]
+    q = jnp.where(valid.ravel(), q, 1.0)
+    return q.reshape(shape).astype(O.dtype)
+
+
+def chunk_bh_keep(O, E, cid, valid, sig, n_chunks=128, o_cap=32768):
+    """``(chunk_bh_histogram(...) <= sig)`` without the per-pixel q lookup.
+
+    ``qtab`` is a cummin over ascending integer counts, so within a chunk
+    q is nonincreasing in the count and ``q <= sig`` is equivalent to
+    ``count >= thr[chunk]`` where ``thr[s]`` counts the leading qtab
+    entries above ``sig``.  The per-pixel ``thr[cid]`` in turn is a step
+    function of E: a *valid* pixel's (possibly nudged) chunk id is exactly
+    1 + #{edges 2^((s-1)/3) strictly below E} — validity means E lies
+    strictly inside the final chunk's open interval, and the edge powers
+    here are computed by the same int->f32 divide + ``jnp.power`` as
+    :func:`lambda_chunks`' rv/lv, so every comparison reproduces the
+    dense path's membership bit-for-bit.  The whole decision then fuses
+    into one broadcast-compare reduce over the sheet — the
+    [pixels, o_cap] f32 selection matmul of the dense lookup (the single
+    most expensive term of the scoring program at genome scale:
+    S*pixels*o_cap f32 MACs) is deferred to the compacted keep set via
+    the returned table.  All arithmetic is exact: thr and its deltas are
+    integers < 2^24, so any f32 summation order yields the same value.
+
+    Returns (keep mask, qtab [n_chunks, o_cap+1]); look up exact q-values
+    for compacted pixels as ``qtab[cid, floor(O)]`` (invalid pixels carry
+    q = 1, which this mask admits only when ``sig >= 1``).
+    """
+    S, C = n_chunks, o_cap + 1
+    Oc_p, cid_p, _n = _chunk_pack(O, cid, valid, S, C)
+    qtab = _chunk_qtab(Oc_p, cid_p, S, C, O.dtype)
+    # first count index with q <= sig, per chunk (C if none)
+    thr = (qtab > sig).astype(O.dtype).sum(axis=1)
+    # thr[cid] = thr[1] + sum_s (thr[s+1]-thr[s]) * [E > 2^((s-1)/3)],
+    # s = 1..S-2 (the upper clamp matches _chunk_pack's cid clip at S-1)
+    s = jnp.arange(1, S - 1, dtype=O.dtype)
+    edges = jnp.power(2.0, (s - 1.0) / 3.0).astype(O.dtype)
+    deltas = (thr[2:] - thr[1:-1])
+    safeE = jnp.where(valid, E, 1.0)
+    th = thr[1] + ((safeE[..., None] > edges) * deltas).sum(-1)
+    keep = valid & (jnp.clip(jnp.floor(O), 0, C - 1) >= th)
+    # invalid pixels carry q = 1.0, admitted by the mask only when sig >= 1
+    keep = keep | (~valid & (jnp.asarray(sig, O.dtype) >= 1.0))
+    return keep, qtab
+
+
+def _chunk_pack(O, cid, valid, S, C):
+    """Flatten and pad (count, chunk, valid) into [steps, CH] scan chunks.
+
+    Invalid (and padded) pixels are folded into chunk row 0 — a trash row
+    no valid pixel ever reads (:func:`lambda_chunks` emits cid >= 1), so
+    the scan one-hots need no separate validity mask.  CH is sized for
+    ~64MB one-hot steps: hardware-probed, CH=8192 spends over half the
+    scan in per-step overhead (207ms -> 70ms at 25M pixels with CH=32768).
+    """
+    Oc = jnp.clip(jnp.floor(O).astype(jnp.int32), 0, C - 1).ravel()
+    cidc = jnp.where(valid.ravel(), jnp.clip(cid, 1, S - 1).ravel(), 0)
+    n = Oc.size
+    CH = max(512, min(32768, ((64 << 20) // (2 * C)) // 256 * 256))
+    pad = -(-n // CH) * CH - n
+    return (jnp.pad(Oc, (0, pad)).reshape(-1, CH),
+            jnp.pad(cidc, (0, pad)).reshape(-1, CH), n)
+
+
+def _chunk_qtab(Oc_p, cid_p, S, C, dtype):
+    """The (chunk, count) BH q table shared by the dense-lookup and
+    threshold-mask front ends.
+
+    Row 0 is a trash row: invalid pixels are folded there by
+    :func:`_chunk_pack`, so its m/rank/q entries are garbage-but-finite
+    and no valid pixel ever reads them."""
+
+    # Histogram as one-hot matmuls over pixel chunks (MXU work):
+    # scatter-add with duplicate indices and large gathers both lower
+    # pathologically on TPU; 0/1 one-hot arithmetic in bf16 with f32
+    # accumulation is bit-exact per step (CH <= 32768 < 2^24), and the
     # running total is carried in int32 so no bucket ever saturates a f32
     # mantissa however many pixels land in it (ADVICE r1).
-    n = Oc.size
-    CH = max(512, min(8192, (16 << 20) // (2 * C)))   # ~16MB one-hot/step
-    n_pad = -(-n // CH) * CH
-    pad = n_pad - n
-    Oc_p = jnp.pad(Oc, (0, pad)).reshape(-1, CH)
-    cid_p = jnp.pad(cidc, (0, pad)).reshape(-1, CH)
-    vv_p = jnp.pad(vv, (0, pad)).reshape(-1, CH)
     s_iota = jnp.arange(S, dtype=jnp.int32)
     c_iota = jnp.arange(C, dtype=jnp.int32)
 
     def hist_step(acc, xs):
-        oc, cc, va = xs
-        oh_s = ((cc[:, None] == s_iota[None, :]) & va[:, None]
-                ).astype(jnp.bfloat16)
+        oc, cc = xs
+        oh_s = (cc[:, None] == s_iota[None, :]).astype(jnp.bfloat16)
         oh_o = (oc[:, None] == c_iota[None, :]).astype(jnp.bfloat16)
         step = jnp.dot(oh_s.T, oh_o, preferred_element_type=jnp.float32)
         acc = acc + step.astype(jnp.int32)
         return acc, None
 
     hist2, _ = jax.lax.scan(hist_step, jnp.zeros((S, C), jnp.int32),
-                            (Oc_p, cid_p, vv_p))
+                            (Oc_p, cid_p))
 
-    m = hist2.sum(axis=1, keepdims=True).astype(O.dtype)
+    m = hist2.sum(axis=1, keepdims=True).astype(dtype)
     # rank_max(s, O): pixels with count >= O  (descending-O cumulative)
-    rank_max = jnp.cumsum(hist2[:, ::-1], axis=1)[:, ::-1].astype(O.dtype)
+    rank_max = jnp.cumsum(hist2[:, ::-1], axis=1)[:, ::-1].astype(dtype)
 
-    rv = jnp.power(2.0, (jnp.arange(S, dtype=O.dtype) - 1.0) / 3.0)[:, None]
-    counts = jnp.arange(C, dtype=O.dtype)[None, :]
+    rv = jnp.power(2.0, (jnp.arange(S, dtype=dtype) - 1.0) / 3.0)[:, None]
+    counts = jnp.arange(C, dtype=dtype)[None, :]
     ptab = poisson_sf(counts, rv)
 
     # empty buckets carry a finite sentinel > 1 (inf would turn the 0*inf
@@ -367,23 +448,7 @@ def chunk_bh_histogram(O, cid, valid, n_chunks=128, o_cap=32768):
     qraw = jnp.where(rank_max > 0,
                      jnp.minimum(ptab * m / jnp.maximum(rank_max, 1.0), 1.0),
                      2.0)
-    qtab = jax.lax.cummin(qraw, axis=1).astype(O.dtype)
-
-    def lookup_step(_, xs):
-        # the selection matmul stays in O.dtype: the one-hot picks exactly
-        # one qtab entry per pixel, so the result is bit-exact
-        oc, cc, va = xs
-        oh_s = ((cc[:, None] == s_iota[None, :]) & va[:, None]
-                ).astype(O.dtype)
-        oh_o = (oc[:, None] == c_iota[None, :]).astype(O.dtype)
-        rows = jnp.dot(oh_s, qtab, preferred_element_type=O.dtype)
-        q = jnp.sum(rows * oh_o, axis=1)
-        return None, q
-
-    _, q_chunks = jax.lax.scan(lookup_step, None, (Oc_p, cid_p, vv_p))
-    q = q_chunks.reshape(-1)[:n]
-    q = jnp.where(vv, q, 1.0)
-    return q.reshape(shape).astype(O.dtype)
+    return jax.lax.cummin(qraw, axis=1).astype(dtype)
 
 
 def host_bh(pvals, cids, valid):

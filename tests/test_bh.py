@@ -108,3 +108,39 @@ def test_chunk_histogram_bh_matches_sort_bh():
     q_hist = np.asarray(chunk_bh_histogram(jnp.asarray(O), jnp.asarray(cid),
                                            jnp.asarray(valid), o_cap=256))
     np.testing.assert_allclose(q_hist, q_sort, rtol=1e-12, atol=1e-15)
+
+
+@pytest.mark.parametrize('sig', [0.05, 0.31, 1.0])
+def test_chunk_bh_keep_matches_dense_threshold(sig):
+    """chunk_bh_keep's per-chunk count threshold must reproduce
+    (chunk_bh_histogram <= sig) exactly (q is a cummin over ascending
+    counts, so the collapse is a theorem, not an approximation), and its
+    qtab must serve the exact per-pixel q for the compacted lookup."""
+    from hicpeaks_tpu.ops.score import chunk_bh_histogram, chunk_bh_keep
+
+    from hicpeaks_tpu.ops.score import lambda_chunks
+
+    rng = np.random.default_rng(13)
+    n = 30000
+    O = rng.poisson(6.0, n).astype(np.float32)
+    # E spanning many chunks, including exact chunk-edge values (invalid)
+    # and a few enormous values that clip at the n_chunks cap
+    E = np.exp(rng.uniform(np.log(0.05), np.log(300.0), n)).astype(np.float32)
+    E[::97] = np.power(2.0, (rng.integers(0, 20, len(E[::97])) - 1) / 3.0
+                       ).astype(np.float32)
+    E[::401] = np.float32(1e13)
+    scored = rng.random(n) < 0.9
+    cid, rv, valid = (np.asarray(a) for a in lambda_chunks(
+        jnp.asarray(E), jnp.asarray(scored)))
+
+    q_dense = np.asarray(chunk_bh_histogram(
+        jnp.asarray(O), jnp.asarray(cid), jnp.asarray(valid), o_cap=256))
+    keep, qtab = chunk_bh_keep(jnp.asarray(O), jnp.asarray(E),
+                               jnp.asarray(cid), jnp.asarray(valid),
+                               jnp.float32(sig), o_cap=256)
+    np.testing.assert_array_equal(np.asarray(keep), q_dense <= sig)
+
+    oc = np.clip(np.floor(O).astype(np.int64), 0, 256)
+    qt = np.asarray(qtab)
+    q_lookup = np.where(valid, qt[np.clip(cid, 0, 127), oc], 1.0)
+    np.testing.assert_array_equal(q_lookup, q_dense)

@@ -374,3 +374,56 @@ def test_parse_peakfile_matches_reference(ref, tmp_path):
     got = ours(str(fil), skip=1)
     assert {k: sorted(v) for k, v in got.items()} == \
            {k: sorted(v) for k, v in want.items()}
+
+
+def test_apa_matches_reference(ref):
+    """ops/apa_ops batched band-gather APA vs the reference's per-loop
+    dense slicing + scoring (apa.py:11-46), executed verbatim."""
+    from hicpeaks_tpu.ops import apa_ops
+
+    rng = np.random.default_rng(42)
+    L, w = 160, 5
+    dense = rng.poisson(3.0, size=(L, L)).astype(float)
+    dense = np.triu(dense) + np.triu(dense, 1).T        # symmetric
+    nan_rows = rng.choice(L, 6, replace=False)
+    dense[nan_rows, :] = np.nan
+    dense[:, nan_rows] = np.nan
+
+    pos = [(int(x), int(x + d)) for x, d in
+           zip(rng.integers(0, L - 30, 40), rng.integers(8, 25, 40))]
+    # include edge-straddling and NaN-hitting windows (skipped by both)
+    pos += [(2, 10), (L - 3, L - 1), (int(nan_rows[0]), int(nan_rows[0]) + 9)]
+
+    # the reference consumes the balanced cooler fetch: a csr matrix WITH
+    # explicit NaN entries at unweighted rows
+    Mref = sparse.csr_matrix(np.where(np.isnan(dense), np.nan, dense))
+
+    ref_windows = ref.apa.apa_submatrix(Mref, pos, w=w)
+    assert len(ref_windows) > 10
+    ref_stack = np.r_[ref_windows]
+    avg_r, score_r, z_r, p_r, maxi_r = ref.apa.apa_analysis(
+        ref_stack, w=w, cw=3)
+
+    # ours: band layout of the same matrix + device gather
+    num = L
+    band = np.zeros((num, L))
+    nanband = np.zeros((num, L))
+    for d in range(num):
+        col = np.diag(np.nan_to_num(dense), d)
+        band[d, :len(col)] = col
+        nanband[d, :len(col)] = np.isnan(np.diag(dense, d))
+    xs = np.array([p[0] for p in pos])
+    ys = np.array([p[1] for p in pos])
+    import jax.numpy as jnp
+    norm, ok, _ = apa_ops.apa_windows(jnp.asarray(band),
+                                      jnp.asarray(nanband),
+                                      jnp.asarray(xs), jnp.asarray(ys),
+                                      w, L)
+    stack = np.asarray(norm)[np.asarray(ok)]
+    assert stack.shape == ref_stack.shape
+    np.testing.assert_allclose(stack, ref_stack, rtol=1e-12, atol=1e-12)
+
+    avg, score, z, p, maxi = apa_ops.apa_analysis(stack, w=w, cw=3)
+    np.testing.assert_allclose(avg, avg_r, rtol=1e-12)
+    np.testing.assert_allclose([score, z, p, maxi],
+                               [score_r, z_r, p_r, maxi_r], rtol=1e-12)
