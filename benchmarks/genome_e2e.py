@@ -127,9 +127,30 @@ def main():
     t_genome = time.time() - t0
     log(f'measured pass (steady, pipelined): {t_genome:.1f}s')
 
+    # pyBHFDR at its reference default config on the same cooler
+    # (README.rst:291 — 24:53 = 1493 s for K562 10Kb, maxapart 2Mb)
+    from hicpeaks_tpu.core.config import BHFDRConfig
+    bcfg = BHFDRConfig(pw=2, ww=5, maxapart=2_000_000)
+
+    def run_bhfdr():
+        return api.call_bhfdr(uri, bcfg, chroms=['#'],
+                              scan_backend=backend, shape_bucket=4096)
+
+    t0 = time.time()
+    btables = run_bhfdr()
+    t_bwarm = time.time() - t0
+    bpeaks = sum(len(t) for t in btables.values())
+    log(f'bhfdr warm pass: {t_bwarm:.1f}s, {bpeaks} peaks')
+    t0 = time.time()
+    btables2 = run_bhfdr()
+    t_bgenome = time.time() - t0
+    log(f'bhfdr measured pass: {t_bgenome:.1f}s')
+
     per_chrom = t_genome / n_chroms
     genome23 = per_chrom * 23
+    bh23 = t_bgenome / n_chroms * 23
     ref_wall = 7053.0
+    ref_bh_wall = 1493.0
     rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
     result = {
         'config': {'n_chroms': n_chroms, 'L': L, 'res': res,
@@ -144,6 +165,13 @@ def main():
         'vs_reference_wall': round(ref_wall / genome23, 1),
         'peaks': peaks,
         'passes_identical': tables == tables2,
+        'bhfdr': {'maxapart': 2_000_000, 'warm_pass_s': round(t_bwarm, 1),
+                  'steady_genome_pass_s': round(t_bgenome, 1),
+                  'extrapolated_23_chrom_genome_s': round(bh23, 1),
+                  'reference_genome_wall_s': ref_bh_wall,
+                  'vs_reference_wall': round(ref_bh_wall / bh23, 1),
+                  'peaks': bpeaks,
+                  'passes_identical': btables == btables2},
         'peak_rss_gb': round(rss_gb, 2),
         'total_wall_s': round(time.time() - t_all, 1),
     }

@@ -110,11 +110,12 @@ def _score_device(raw, cband, IR, Bprod, bSV, bEV, cand, gap_drop, sig,
 
 _KEEP_CAP = 1 << 17    # kept-pixel compaction hard bound (pre-clustering
                        # significant candidates are 1e2-1e5 in practice)
-_KEEP_CAP_FAST = 1 << 15   # first-attempt cap: the compact search and the
+_KEEP_CAP_FAST = 1 << 13   # first-attempt cap: the compact search and the
                            # per-stat gathers scale with the cap (~50ms/bg
-                           # at 1<<17 on hardware), and overflow just
-                           # retries with the hard bound (one extra
-                           # compile per shape bucket, then cached)
+                           # at 1<<17 on hardware), pre-cluster significant
+                           # pixels are 1e2-1e4 per chromosome in practice,
+                           # and overflow just retries with the hard bound
+                           # (one extra compile per shape bucket, cached)
 
 
 def _compact_one(raw, cband, IR, Bprod, bSV, bEV, cand, gap_drop, sig, wi,
@@ -253,12 +254,14 @@ def _score_all_pairs(raw, cband, IR, Bprod, outs, pairs, cand, L, sig,
     dev = _score_device_compact_multi(
         raw, cband, IR, Bprod, caps, cand, gap_drop, sig,
         wis=tuple(int(wi) for _, wi in pairs), L=int(L), chunked=True,
-        o_cap=o_cap)
+        o_cap=o_cap, keep_cap=_KEEP_CAP_FAST)
     fetched = jax.device_get(tuple((oK[:8], oY[:8]) for oK, oY in dev))
     results = []
     for (fK, fY), (oK, oY) in zip(fetched, dev):
-        rK = _compact_to_host(fK, oK[8])
-        rY = _compact_to_host(fY, oY[8])
+        rK = _compact_to_host(fK, oK[8], _KEEP_CAP_FAST)
+        rY = _compact_to_host(fY, oY[8], _KEEP_CAP_FAST)
+        # an overflowing entry falls back to the per-pair scorer, which
+        # retries at the hard cap
         results.append(None if rK is None or rY is None else (rK, rY))
     return results
 
@@ -276,6 +279,10 @@ def _bh_plan(chunked, bh_backend, max_count):
     if bh_backend == 'auto':
         if chunked and max_count is not None and max_count <= (1 << 17):
             # sort-free histogram BH: exact and compile-cheap on any backend
+            bh_backend = 'device'
+        elif not chunked:
+            # sort-free fixpoint global BH + host f64 completion: exact and
+            # compile-cheap on any backend (no device sort, no dense fetch)
             bh_backend = 'device'
         else:
             bh_backend = 'host' if jax.default_backend() == 'tpu' else 'device'
@@ -322,6 +329,48 @@ def _score_pair(raw, cband, IR, Bprod, KS, KE, YS, YE, wi, cand, L, sig,
     return None
 
 
+@functools.partial(jax.jit, static_argnames=('wi', 'L', 'keep_cap'))
+def _score_device_bhfdr_compact(raw, cband, IR, Bprod, bSV, bEV, cand,
+                                gap_drop, sig, wi, L, keep_cap):
+    """Global-BH (bhfdr, callers.py:545) scoring with NO device sort and
+    NO dense host fetch: the sort-free fixpoint keep superset
+    (ops/score.global_bh_keep), compaction, and per-pixel global ranks
+    (ops/score.rank_counts); the controller finishes exact float64 BH on
+    the <= keep_cap compacted pixels (ops/score.host_bh_complete)."""
+    E, O, ICE, Fold, scored, prod = score_ops.expected_observed(
+        raw, cband, IR, Bprod, bSV, bEV, wi, cand, L)
+    pval = jnp.where(scored, score_ops.poisson_sf(O, E), 1.0)
+    keep_sup, m = score_ops.global_bh_keep(pval, scored, sig)
+    # the gap filter is post-BH in the reference (callers.py:556-577):
+    # gap pixels participate in the ranks AND in the suffix-min that
+    # determines other pixels' q, so they must stay in the compacted
+    # superset; the controller drops them from the emitted set only
+    cnt, d_idx, x_idx = score_ops.compact_mask(keep_sup, keep_cap)
+    g = lambda a: a[d_idx, x_idx]
+    p_small = g(pval)
+    ranks = score_ops.rank_counts(pval, scored, p_small)
+    return (cnt, d_idx, x_idx, g(O), g(ICE), g(Fold), p_small, ranks, m,
+            g(gap_drop), prod)
+
+
+@functools.partial(jax.jit, static_argnames=('wi', 'L', 'keep_cap'))
+def _score_device_bhfdr_compact_checked(raw, cband, IR, Bprod, bSV, bEV,
+                                        cand, gap_drop, sig, wi, L,
+                                        keep_cap):
+    """checkify-instrumented twin of :func:`_score_device_bhfdr_compact`
+    (same float/index checks as the chunked twin)."""
+    from jax.experimental import checkify
+
+    def body(raw, cband, IR, Bprod, bSV, bEV, cand, gap_drop, sig):
+        return _score_device_bhfdr_compact.__wrapped__(
+            raw, cband, IR, Bprod, bSV, bEV, cand, gap_drop, sig,
+            wi, L, keep_cap)
+
+    return checkify.checkify(
+        body, errors=checkify.float_checks | checkify.index_checks)(
+            raw, cband, IR, Bprod, bSV, bEV, cand, gap_drop, sig)
+
+
 def _score_one(raw, cband, IR, Bprod, bSV, bEV, wi, cand, L, sig, gap_drop,
                chunked: bool, bh_backend='auto', max_count=None,
                check=False):
@@ -332,6 +381,31 @@ def _score_one(raw, cband, IR, Bprod, bSV, bEV, wi, cand, L, sig, gap_drop,
     bh_backend, o_cap = _bh_plan(chunked, bh_backend, max_count)
     if check:
         bh_backend = 'device'   # the instrumented program is the device one
+    if not chunked and bh_backend == 'device':
+        for cap in (_KEEP_CAP_FAST, _KEEP_CAP):
+            if check:
+                err, out = _score_device_bhfdr_compact_checked(
+                    raw, cband, IR, Bprod, bSV, bEV, cand, gap_drop, sig,
+                    wi=int(wi), L=int(L), keep_cap=cap)
+                err.throw()
+            else:
+                out = _score_device_bhfdr_compact(
+                    raw, cband, IR, Bprod, bSV, bEV, cand, gap_drop, sig,
+                    wi=int(wi), L=int(L), keep_cap=cap)
+            cnt, d_idx, x_idx, Ov, ICEv, Foldv, pv, rankv, m, gapv = \
+                jax.device_get(out[:10])
+            n = int(cnt)
+            if n <= cap:
+                d_idx, x_idx = d_idx[:n], x_idx[:n]
+                q = score_ops.host_bh_complete(pv[:n], rankv[:n], m, sig)
+                # exact f64 filter of the superset + the post-BH gap drop
+                fin = (q <= sig) & ~gapv[:n]
+                return dict(x=x_idx[fin], y=x_idx[fin] + d_idx[fin],
+                            O=Ov[:n][fin], ICE=ICEv[:n][fin],
+                            Fold=Foldv[:n][fin], p=pv[:n][fin], q=q[fin],
+                            prod=out[10])
+        # cap overflow (pathological siglevel/data): dense fallback below
+        bh_backend = 'host'
     if bh_backend == 'device':
         for cap in (_KEEP_CAP_FAST, _KEEP_CAP):
             if check:

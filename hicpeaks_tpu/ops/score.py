@@ -451,6 +451,88 @@ def _chunk_qtab(Oc_p, cid_p, S, C, dtype):
     return jax.lax.cummin(qraw, axis=1).astype(dtype)
 
 
+def global_bh_keep(pval, valid, sig):
+    """Sort-free device keep SUPERSET for global (bhfdr) BH.
+
+    The Benjamini-Hochberg step-up threshold is the fixed point of
+    ``t <- sig * #{p <= t} / m`` started at ``t = sig`` (k is
+    nonincreasing along the iteration, so it terminates; at convergence
+    ``tau = sig*k*/m`` with ``k* = #{p <= tau}``, the classic sort-free
+    BH).  Counts are exact integers (f32-held, < 2^24); only the
+    threshold value rounds, so every iteration inflates it by 1e-4
+    relative: the inflated iteration dominates the exact-arithmetic one
+    pointwise (counts are nondecreasing in t, by induction), hence the
+    returned mask is a guaranteed SUPERSET of the exact rejection set
+    however f32 rounds.  The controller recomputes exact float64
+    q-values for the compacted pixels (:func:`host_bh_complete`) and
+    filters — exact, because a pixel outside the superset has every
+    suffix term above ``sig`` and so cannot determine a kept pixel's q.
+
+    Returns (keep_superset, m) with m the total valid count.
+    """
+    infl = jnp.asarray(1.0001, pval.dtype)
+    sigf = jnp.asarray(sig, pval.dtype)
+    m = jnp.sum(valid).astype(pval.dtype)
+    msafe = jnp.maximum(m, 1.0)
+
+    def count(t):
+        return jnp.sum(valid & (pval <= t)).astype(pval.dtype)
+
+    def cond(c):
+        k, kprev = c
+        return k != kprev
+
+    def body(c):
+        k, _ = c
+        return count(sigf * k / msafe * infl), k
+
+    k, _ = jax.lax.while_loop(cond, body,
+                              (count(sigf * infl),
+                               jnp.asarray(-1.0, pval.dtype)))
+    keep = valid & (pval <= sigf * k / msafe * infl)
+    return keep, m
+
+
+def rank_counts(pval, valid, thresh):
+    """Global ranks ``#{valid p <= t}`` for each threshold (exact integer
+    counts in f32), as a CH-chunked compare-reduce scan — the same
+    no-sort/no-scatter shape as the chunk histogram."""
+    pv = pval.ravel()
+    vv = valid.ravel()
+    n = pv.size
+    K = thresh.shape[0]
+    CH = max(512, min(32768, ((64 << 20) // max(K, 1)) // 256 * 256))
+    pad = -(-n // CH) * CH - n
+    pv_p = jnp.pad(pv, (0, pad), constant_values=jnp.inf).reshape(-1, CH)
+    vv_p = jnp.pad(vv, (0, pad)).reshape(-1, CH)
+
+    def step(acc, xs):
+        p, va = xs
+        c = ((p[:, None] <= thresh[None, :]) & va[:, None]
+             ).astype(pval.dtype).sum(axis=0)
+        return acc + c, None
+
+    ranks, _ = jax.lax.scan(step, jnp.zeros((K,), pval.dtype), (pv_p, vv_p))
+    return ranks
+
+
+def host_bh_complete(p_small, ranks, m, sig):
+    """Exact float64 global-BH q-values for the compacted superset
+    (p, global rank, m), statsmodels-equivalent: tied p share a rank (the
+    max-rank of the tie group) hence a raw value, and the ascending-p
+    suffix-min over the superset equals the full suffix-min for every
+    pixel whose true q <= sig (see :func:`global_bh_keep`)."""
+    import numpy as np
+    p = np.asarray(p_small, np.float64)
+    r = np.asarray(ranks, np.float64)
+    raw = np.minimum(p * float(m) / np.maximum(r, 1.0), 1.0)
+    order = np.argsort(p, kind='stable')
+    q_sorted = np.minimum.accumulate(raw[order][::-1])[::-1]
+    q = np.empty_like(q_sorted)
+    q[order] = q_sorted
+    return q
+
+
 def host_bh(pvals, cids, valid):
     """Per-chunk Benjamini-Hochberg on the host (numpy): exact statsmodels
     fdr_bh semantics, no device sort.  TPU sort/scan primitives have

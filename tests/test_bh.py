@@ -144,3 +144,47 @@ def test_chunk_bh_keep_matches_dense_threshold(sig):
     qt = np.asarray(qtab)
     q_lookup = np.where(valid, qt[np.clip(cid, 0, 127), oc], 1.0)
     np.testing.assert_array_equal(q_lookup, q_dense)
+
+
+@pytest.mark.parametrize('seed,sig', [(0, 0.05), (1, 0.1), (2, 0.31)])
+def test_fixpoint_global_bh_matches_reference(seed, sig):
+    """global_bh_keep's fixpoint superset + host_bh_complete's f64 ranks
+    reproduce statsmodels-equivalent global BH exactly, including heavy
+    ties sitting on the rejection boundary."""
+    from hicpeaks_tpu.ops.score import (global_bh_keep, host_bh_complete,
+                                        rank_counts)
+
+    rng = np.random.default_rng(seed)
+    n = 60000
+    p = rng.random(n).astype(np.float32)
+    # plant significant blocks + exact ties (tie groups share a rank)
+    p[:300] = (10.0 ** rng.uniform(-9, -3, 300)).astype(np.float32)
+    p[300:380] = p[300]                      # 80-way tie, significant
+    p[380:420] = np.float32(sig * 0.9)       # tie near the boundary
+    valid = rng.random(n) < 0.9
+
+    want_rej, want_q = fdr_bh(np.where(valid, p, 1.0)[valid].astype(
+        np.float64), alpha=sig)
+
+    keep, m = global_bh_keep(jnp.asarray(p), jnp.asarray(valid),
+                             jnp.float32(sig))
+    keep = np.asarray(keep)
+    assert int(m) == valid.sum()
+    # superset of the exact rejection set
+    exact_keep = np.zeros(n, bool)
+    exact_keep[valid] = want_rej
+    assert (keep | ~exact_keep).all()
+
+    idx = np.nonzero(keep)[0]
+    ranks = np.asarray(rank_counts(jnp.asarray(p), jnp.asarray(valid),
+                                   jnp.asarray(p[idx])))
+    q = host_bh_complete(p[idx], ranks, float(m), sig)
+    fin = q <= sig
+    # the filtered set equals the exact rejection set ...
+    got_keep = np.zeros(n, bool)
+    got_keep[idx[fin]] = True
+    np.testing.assert_array_equal(got_keep, exact_keep)
+    # ... and q-values match the f64 reference exactly on it
+    qmap = np.full(n, np.nan)
+    qmap[valid] = want_q
+    np.testing.assert_allclose(q[fin], qmap[idx[fin]], rtol=0, atol=0)
