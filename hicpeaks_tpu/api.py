@@ -118,6 +118,15 @@ def _run(kind, cooler_uri, cfg, chroms, mesh, scan_backend, checkpoint_dir,
             except BaseException as exc:   # re-raised on the consumer side
                 band_q.put((key, None, time.perf_counter() - t0, exc))
                 return
+            if mesh is None:
+                # issue the host->device transfers now so they overlap the
+                # previous chromosome's device compute (engine._prep_chrom
+                # picks them up from bands._staged)
+                try:
+                    engine.stage_chrom_arrays(bands)
+                except Exception:
+                    log.exception('prefetch transfer failed; the consumer '
+                                  'will transfer synchronously')
             band_q.put((key, bands, time.perf_counter() - t0, None))
 
     producer = threading.Thread(target=_producer, name=f'{kind}-band-loader',

@@ -18,16 +18,10 @@ from .clustering import local_clustering
 from .config import BHFDRConfig, HiccupsConfig
 
 
-def _prep_chrom(bands: ChromBands, d_lo, d_hi, gap_s, mesh=None,
-                ir_backend='host'):
-    """Transfer one raw slab + O(L) vectors, then derive every dense sheet
-    (balanced band, expected band, bias product, gap-reject, candidate
-    mask) on device in one jit (ops/score.build_sheets_device).  The
-    round-1 path built the sheets on the host and shipped ~5 slabs per
-    chromosome — host→device transfer was the genome-scale bottleneck
-    (benchmarks/STAGE_PROFILE_r02.json).  Integer count slabs < 65536 ship
-    as uint16 (half the bytes of float32 — the transfer is the remaining
-    per-chromosome floor); the float32 slab is rebuilt on device."""
+def _compact_slab(bands: ChromBands):
+    """The raw slab in its cheapest lossless transfer encoding: uint16
+    when every count round-trips (integer Hi-C counts < 65536 — half the
+    bytes of float32), else the float slab itself."""
     raw_host = bands.raw
     if raw_host.dtype.kind == 'f':
         compact = getattr(bands, '_raw_u16', None)
@@ -43,6 +37,45 @@ def _prep_chrom(bands: ChromBands, d_lo, d_hi, gap_s, mesh=None,
             bands._raw_u16 = compact
         if compact is not False:
             raw_host = compact
+    return raw_host
+
+
+def stage_chrom_arrays(bands: ChromBands):
+    """Issue the chromosome's host→device transfers ahead of time.
+
+    Called from the api.py prefetch thread right after the band build, so
+    the slab+vector transfer (the largest remaining per-chromosome cost on
+    hosts with slow links) overlaps the previous chromosome's device
+    compute.  JAX transfers are async and thread-safe; the consumer picks
+    the arrays up via ``bands._staged`` (single-device path only — mesh
+    runs re-shard from host)."""
+    bands._staged = dict(raw=jnp.asarray(_compact_slab(bands)),
+                         w0=jnp.asarray(bands.w0),
+                         bias=jnp.asarray(bands.bias),
+                         IR=jnp.asarray(bands.IR),
+                         gap=jnp.asarray(bands.gap))
+
+
+def _prep_chrom(bands: ChromBands, d_lo, d_hi, gap_s, mesh=None,
+                ir_backend='host'):
+    """Transfer one raw slab + O(L) vectors, then derive every dense sheet
+    (balanced band, expected band, bias product, gap-reject, candidate
+    mask) on device in one jit (ops/score.build_sheets_device).  The
+    round-1 path built the sheets on the host and shipped ~5 slabs per
+    chromosome — host→device transfer was the genome-scale bottleneck
+    (benchmarks/STAGE_PROFILE_r02.json).  Integer count slabs < 65536 ship
+    as uint16 (half the bytes of float32 — the transfer is the remaining
+    per-chromosome floor); the float32 slab is rebuilt on device."""
+    staged = getattr(bands, '_staged', None)
+    if staged is not None and mesh is None:
+        # transfers were issued ahead of time (api.py prefetch thread) so
+        # they overlapped the previous chromosome's device compute
+        raw, cband, eband, Bprod, gap_drop, cand = \
+            score_ops.build_sheets_device(
+                staged['raw'], staged['w0'], staged['bias'], staged['IR'],
+                staged['gap'], bands.ww_min, bands.L, d_lo, d_hi, gap_s)
+        return raw, cband, eband, staged['IR'], Bprod, gap_drop, cand
+    raw_host = _compact_slab(bands)
     if mesh is not None and ir_backend == 'device':
         # psum'd diagonal means from the sharded slab (parallel/tiles.
         # ir_sharded) — no controller reduction, the multi-host band-

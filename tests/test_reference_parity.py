@@ -427,3 +427,50 @@ def test_apa_matches_reference(ref):
     np.testing.assert_allclose(avg, avg_r, rtol=1e-12)
     np.testing.assert_allclose([score, z, p, maxi],
                                [score_r, z_r, p_r, maxi_r], rtol=1e-12)
+
+
+@pytest.mark.parametrize('seed', [101, 202, 303, 404, 505, 606])
+def test_hiccups_fuzz_matches_reference(ref, tmp_path_factory, seed):
+    """Randomized-config fuzz against the in-process reference: random
+    data (depth, gaps, loop density) and random caller configs (pw/ww
+    sets, maxww, siglevel, spans) per seed — broad-front protection
+    beyond the handful of hand-picked parity configs."""
+    rng = np.random.default_rng(seed)
+    res = 25000
+    n_bins = int(rng.integers(200, 380))
+    path = tmp_path_factory.mktemp(f'fuzz{seed}') / 'f.cool'
+    uri, _ = synthetic_cooler(
+        str(path), n_bins=n_bins, res=res, seed=seed,
+        n_loops=int(rng.integers(5, 40)),
+        depth=float(rng.uniform(15.0, 120.0)),
+        gap_frac=float(rng.uniform(0.0, 0.06)),
+        decay=float(rng.uniform(0.6, 1.0)))
+    clr = CoolerLite(uri)
+
+    n_pairs = int(rng.integers(1, 3))
+    pws = sorted(rng.choice([1, 2, 3, 4], n_pairs, replace=False).tolist())
+    wws = sorted((p + int(rng.integers(1, 4)) for p in pws))
+    if len(set(wws)) != len(wws):
+        wws = [w + i for i, w in enumerate(wws)]
+    maxww = max(wws) + int(rng.integers(1, 5))
+    sig = float(rng.choice([0.01, 0.05, 0.1]))
+    maxapart = int(rng.integers(30, 70)) * res
+    cfg = HiccupsConfig(pw=tuple(pws), ww=tuple(wws), maxww=maxww,
+                        siglevel=sig, sumq=0.01, maxapart=maxapart,
+                        min_marginal_peaks=2, min_local_reads=16,
+                        only_anchors=False)
+
+    d = prepare_sparse(clr, '21', cfg.maxapart, cfg.maxww, min(wws))
+    want = ref.callers.hiccups(d['M'], d['cM'], d['B'], d['B'], d['IR'],
+                               d['chromLen'], d['Diags'], d['cDiags'],
+                               d['num'], '21', pw=list(pws), ww=list(wws),
+                               maxww=maxww, sig=sig, sumq=cfg.sumq,
+                               double_fold=cfg.double_fold,
+                               single_fold=cfg.single_fold,
+                               maxapart=maxapart, res=res,
+                               min_marginal_peaks=2, onlyanchor=False,
+                               min_local_reads=16)
+    bands = bands_from_cooler(clr, '21', cfg.maxapart, cfg.maxww, min(wws),
+                              dtype=np.float64)
+    got = engine.hiccups_chrom(bands, cfg)
+    _assert_tables_match(got, want, slice(3, None))
