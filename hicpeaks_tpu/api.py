@@ -141,7 +141,7 @@ def _run(kind, cooler_uri, cfg, chroms, mesh, scan_backend, checkpoint_dir,
             if exc is not None:
                 raise exc
             t0 = time.perf_counter()
-            n_cand = int((bands.raw != 0).sum())
+            n_cand = bands.nnz()
             # per-chromosome units are independently retryable (SURVEY §5:
             # the reference has no failure recovery; device/runtime faults
             # here cost one chromosome attempt, not the run)

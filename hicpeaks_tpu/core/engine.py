@@ -75,6 +75,29 @@ def _prep_chrom(bands: ChromBands, d_lo, d_hi, gap_s, mesh=None,
                 staged['raw'], staged['w0'], staged['bias'], staged['IR'],
                 staged['gap'], bands.ww_min, bands.L, d_lo, d_hi, gap_s)
         return raw, cband, eband, staged['IR'], Bprod, gap_drop, cand
+    if mesh is not None and hasattr(bands.raw, 'sharding'):
+        # tile-sharded global array from parallel.multihost.
+        # sharded_bands_from_cooler: each process scattered only its own
+        # column tiles; IR/gap/vectors were reduced host-side already
+        raw_sh = bands.raw
+        raw_host = None
+        if ir_backend == 'device':
+            from ..parallel.tiles import ir_sharded
+            IR = ir_sharded(raw_sh, jnp.asarray(bands.w0),
+                            jnp.asarray(bands.nanw), bands.L, bands.ww_min,
+                            bands.num, mesh)
+        else:
+            IR = jnp.asarray(bands.IR)
+        raw, cband, eband, Bprod, gap_drop, cand = \
+            score_ops.build_sheets_device(
+                raw_sh, jnp.asarray(bands.w0), jnp.asarray(bands.bias), IR,
+                jnp.asarray(bands.gap), bands.ww_min, bands.L, d_lo, d_hi,
+                gap_s)
+        from ..parallel.tiles import shard_band
+        raw, cband, eband, Bprod, gap_drop, cand = (
+            shard_band(a, mesh)
+            for a in (raw, cband, eband, Bprod, gap_drop, cand))
+        return raw, cband, eband, IR, Bprod, gap_drop, cand
     raw_host = _compact_slab(bands)
     if mesh is not None and ir_backend == 'device':
         # psum'd diagonal means from the sharded slab (parallel/tiles.

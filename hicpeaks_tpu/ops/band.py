@@ -43,7 +43,12 @@ class ChromBands:
     """
 
     def __init__(self, raw, IR, bias, w0, gap, L, num, res, chrom='',
-                 ww_min=0, sparse=None, cband=None, nanw=None):
+                 ww_min=0, sparse=None, cband=None, nanw=None,
+                 cand_hist=None):
+        self.cand_hist = cand_hist  # [num_p] GLOBAL nonzero-pixel counts
+                                    # per diagonal (multi-host sharded
+                                    # ingestion reduces it across hosts;
+                                    # None -> derive from local _sparse)
         self.raw = raw          # [num_p, Lp] dtype
         self.IR = IR            # [num_p]
         self.bias = bias        # [Lp]
@@ -73,9 +78,21 @@ class ChromBands:
     def candidate_total(self, d_lo, d_hi) -> int:
         """Host count of candidate pixels (nonzero raw, d_lo <= d <= d_hi)
         — the freeze emulation's global total (callers.py:101-104) without
-        materializing the dense mask."""
+        materializing the dense mask.  Uses the host-reduced global
+        per-diagonal histogram when present (multi-host sharded bands hold
+        only local pixels in ``_sparse``)."""
+        if self.cand_hist is not None:
+            h = self.cand_hist
+            return int(h[d_lo:min(d_hi + 1, len(h))].sum())
         dd, _, _, ct = self._sparse
         return int(np.count_nonzero((dd >= d_lo) & (dd <= d_hi) & (ct != 0)))
+
+    def nnz(self) -> int:
+        """Global nonzero-pixel count (observability; api.py logging)."""
+        if self.cand_hist is not None:
+            return int(self.cand_hist.sum())
+        _, _, _, ct = self._sparse
+        return int(np.count_nonzero(ct))
 
 
 def build_bands(bin1, bin2, count, weights, L, num, ww_min, res, chrom='',

@@ -89,3 +89,111 @@ def local_tile_mesh():
 
     devs = np.array(jax.local_devices())
     return Mesh(devs, ('tiles',))
+
+
+def sharded_bands_from_cooler(clr, chrom, maxapart, maxww, ww_min, mesh,
+                              dtype=np.float64, weight_name='weight',
+                              lane_pad=128, sublane_pad=8):
+    """Per-host band ingestion for a tile-sharded chromosome.
+
+    The single-host loader (ops/band.bands_from_cooler) builds the whole
+    [num, L] slab on the controller and ships it; on a multi-host mesh
+    that makes every host read and hold the full chromosome.  Here each
+    process reads ONLY the pixel rows of its own column tiles (the cooler
+    ``bin1_offset`` index makes a column span one contiguous HDF5 slice,
+    io/coolerlite.pixels_for_bin1_range), scatters its local shards via
+    ``jax.make_array_from_callback``, and the O(num+L) per-diagonal /
+    per-column partial sums are reduced across processes with one small
+    all-gather — so the distance-expected IR, the gap vector and the
+    freeze-emulation candidate totals are globally exact while slab IO
+    and memory stay per-host.
+
+    Returns a ChromBands whose ``raw`` is the tile-sharded global jax
+    Array (engine._prep_chrom consumes it directly); all vector fields
+    are host numpy, identical on every process.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..ops.band import ChromBands, _round_up
+    from .tiles import HALO_AXIS
+
+    res = clr.binsize
+    lo, hi = clr.bin_range(chrom)
+    L = hi - lo
+    num = maxapart // res + maxww + 1
+    Lp = _round_up(max(L, 1), lane_pad)
+    num_p = _round_up(max(num, 1), sublane_pad)
+    n_tiles = mesh.devices.size
+    Lpm = _round_up(Lp, n_tiles)
+
+    w = np.asarray(clr.weights(chrom, weight_name), np.float64)
+
+    sharding = NamedSharding(mesh, P(None, HALO_AXIS))
+    idx_map = sharding.addressable_devices_indices_map((num_p, Lpm))
+    spans = sorted({(s[1].start or 0, s[1].stop if s[1].stop is not None
+                     else Lpm) for s in idx_map.values()})
+    c_lo = min(s[0] for s in spans)
+    c_hi = max(s[1] for s in spans)
+
+    # one contiguous read covering this process's tiles
+    b1, b2, ct = clr.pixels_for_bin1_range(chrom, c_lo, min(c_hi, L))
+    d = (b2 - b1).astype(np.int64)
+    sel = (d >= 0) & (d < num) & (b2 < L)
+    b1, dd, ct = b1[sel], d[sel], ct[sel].astype(np.float64)
+
+    local = np.zeros((num_p, c_hi - c_lo), dtype)
+    local[dd, b1 - c_lo] = ct
+
+    def cb(index):
+        cols = index[1]
+        c0 = cols.start or 0
+        c1 = cols.stop if cols.stop is not None else Lpm
+        return local[:, c0 - c_lo:c1 - c_lo]
+
+    raw = jax.make_array_from_callback((num_p, Lpm), sharding, cb)
+
+    # O(num + L) partials -> exact global reductions (one allgather)
+    wprod = w[b1] * w[b1 + dd]
+    nanmask = np.isnan(wprod)
+    cvals = np.where(nanmask, 0.0, ct * wprod)
+    csum = np.bincount(dd, weights=cvals, minlength=num_p)[:num_p]
+    nan_counts = np.bincount(dd[nanmask], minlength=num_p)[:num_p]
+    in_rows = dd >= ww_min
+    colsum = np.bincount(b1[in_rows], weights=cvals[in_rows],
+                         minlength=Lpm)[:Lpm]
+    cand = np.bincount(dd[ct != 0], minlength=num_p)[:num_p]
+
+    if jax.process_count() > 1:
+        packed = np.concatenate([csum, nan_counts.astype(np.float64),
+                                 colsum, cand.astype(np.float64)])
+        total = np.asarray(multihost_utils.process_allgather(packed)
+                           ).sum(axis=0)
+        csum = total[:num_p]
+        nan_counts = total[num_p:2 * num_p]
+        colsum = total[2 * num_p:2 * num_p + Lpm]
+        cand = total[2 * num_p + Lpm:]
+
+    diag_len = np.maximum(L - np.arange(num_p), 0)
+    denom = diag_len - nan_counts
+    with np.errstate(invalid='ignore', divide='ignore'):
+        IR = csum / denom
+    IR[:ww_min] = 0.0
+    IR[num:] = 0.0
+    gap = colsum == 0
+
+    valid = ~((w == 0) | np.isnan(w))
+    bias = np.zeros(Lpm, np.float64)
+    bias[:L][valid] = 1.0 / w[valid]
+    w0 = np.zeros(Lpm, np.float64)
+    w0[:L][valid] = w[valid]
+    nanw = np.zeros(Lpm, bool)
+    nanw[:L] = np.isnan(w)
+
+    return ChromBands(raw=raw, IR=IR.astype(dtype), bias=bias.astype(dtype),
+                      w0=w0.astype(dtype), gap=gap, L=L, num=num, res=res,
+                      chrom=chrom.lstrip('chr'), ww_min=ww_min,
+                      sparse=(dd, b1, cvals, ct), nanw=nanw,
+                      cand_hist=cand.astype(np.int64))

@@ -19,10 +19,14 @@ jax.config.update('jax_enable_x64', True)
 def main():
     uri, out_path = sys.argv[1], sys.argv[2]
     use_mesh = '--mesh' in sys.argv[3:]
+    tile_ingest = '--tile-ingest' in sys.argv[3:]
 
     from hicpeaks_tpu.parallel.launch import maybe_initialize_distributed
     assert maybe_initialize_distributed(), 'distributed env vars missing'
     assert jax.process_count() == int(os.environ['HICPEAKS_NUM_PROCESSES'])
+
+    if tile_ingest:
+        return run_tile_ingest(uri, out_path)
 
     mesh = None
     if use_mesh:
@@ -39,6 +43,53 @@ def main():
                    for k, v in t.items()} for c, t in results.items()}
     with open(out_path, 'w') as f:
         json.dump(payload, f, sort_keys=True)
+    print('WORKER-OK', jax.process_index(), flush=True)
+
+
+def run_tile_ingest(uri, out_path):
+    """Per-host sharded ingestion over a GLOBAL mesh spanning both
+    processes: each process must read only its own column span and all
+    processes must agree on the reduced IR/gap/candidate vectors."""
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from hicpeaks_tpu.io.coolerlite import CoolerLite
+    from hicpeaks_tpu.parallel.multihost import sharded_bands_from_cooler
+
+    clr = CoolerLite(uri)
+    # record + restrict reads: full-chromosome pixel reads are forbidden
+    spans = []
+    orig = CoolerLite.pixels_for_bin1_range
+
+    def recording(self, chrom, c0, c1):
+        spans.append((int(c0), int(c1)))
+        return orig(self, chrom, c0, c1)
+
+    CoolerLite.pixels_for_bin1_range = recording
+    CoolerLite.pixels_for_chrom = None   # any call would raise TypeError
+
+    mesh = Mesh(np.array(jax.devices()), ('tiles',))
+    bands = sharded_bands_from_cooler(clr, '1', 1_000_000, 6, 3, mesh,
+                                      dtype=np.float64)
+
+    shards = [(sh.index[1].start or 0, sh.index[1].stop)
+              for sh in bands.raw.addressable_shards]
+    payload = {
+        'process': jax.process_index(),
+        'read_spans': spans,
+        'shard_cols': shards,
+        'shard_data': {f'{a}:{b}': np.asarray(
+            [d for d in bands.raw.addressable_shards
+             if (d.index[1].start or 0) == a][0].data).tolist()
+            for a, b in shards},
+        'IR': np.asarray(bands.IR).tolist(),
+        'gap': np.asarray(bands.gap).astype(int).tolist(),
+        'cand_hist': np.asarray(bands.cand_hist).tolist(),
+        'nnz': bands.nnz(),
+        'L': bands.L,
+    }
+    with open(out_path, 'w') as f:
+        json.dump(payload, f)
     print('WORKER-OK', jax.process_index(), flush=True)
 
 

@@ -115,3 +115,81 @@ def test_two_process_distributed_parity(two_chrom_cooler, tmp_path,
 
     expected = _single_process_expected(uri)
     assert tables[0] == expected
+
+
+def test_two_process_per_host_ingestion(two_chrom_cooler, tmp_path):
+    """Global tile mesh across two processes: each process reads ONLY its
+    own column span (full-chromosome reads are disabled in the worker),
+    and the assembled shards + reduced IR/gap/candidate vectors equal the
+    single-host loader's."""
+    uri = two_chrom_cooler
+    port = _free_port()
+    worker = os.path.join(os.path.dirname(__file__), 'multihost_worker.py')
+
+    procs, outs = [], []
+    for pid in range(2):
+        out = tmp_path / f'ingest.{pid}.json'
+        outs.append(out)
+        env = dict(os.environ)
+        env['HICPEAKS_COORDINATOR'] = f'localhost:{port}'
+        env['HICPEAKS_NUM_PROCESSES'] = '2'
+        env['HICPEAKS_PROCESS_ID'] = str(pid)
+        env['JAX_PLATFORMS'] = 'cpu'
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env['PYTHONPATH'] = ':'.join(
+            [repo] + ([env['PYTHONPATH']] if env.get('PYTHONPATH') else []))
+        flags = [f for f in env.get('XLA_FLAGS', '').split()
+                 if 'device_count' not in f]
+        env['XLA_FLAGS'] = ' '.join(
+            flags + ['--xla_force_host_platform_device_count=2'])
+        procs.append(subprocess.Popen(
+            [sys.executable, worker, uri, str(out), '--tile-ingest'],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True))
+    for p in procs:
+        try:
+            stdout, stderr = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, f'worker failed:\n{stdout}\n{stderr[-3000:]}'
+
+    payloads = [json.loads(o.read_text()) for o in outs]
+
+    # reference: single-host loader on the same chromosome/config
+    from hicpeaks_tpu.ops.band import bands_from_cooler
+    clr = CoolerLite(uri)
+    host = bands_from_cooler(clr, '1', 1_000_000, 6, 3, dtype=np.float64,
+                             lane_pad=128)
+    num_p, Lp = host.raw.shape
+
+    # per-host reads: each process touched only its own shard span
+    for pl in payloads:
+        lo = min(a for a, b in pl['shard_cols'])
+        hi = max(b for a, b in pl['shard_cols'])
+        for c0, c1 in pl['read_spans']:
+            assert c0 >= lo and c1 <= max(hi, pl['L'])
+    # the two processes covered disjoint, complementary spans
+    all_cols = sorted(c for pl in payloads for c in pl['shard_cols'])
+    assert all_cols[0][0] == 0
+    for (a0, b0), (a1, b1) in zip(all_cols, all_cols[1:]):
+        assert a1 == b0
+
+    # assembled global slab == host loader's (padded cols are zero)
+    Lpm = max(b for pl in payloads for _, b in pl['shard_cols'])
+    assembled = np.zeros((num_p, Lpm))
+    for pl in payloads:
+        for (a, b) in pl['shard_cols']:
+            assembled[:, a:b] = np.asarray(pl['shard_data'][f'{a}:{b}'])
+    np.testing.assert_array_equal(assembled[:, :Lp], host.raw)
+    assert not assembled[:, Lp:].any()
+
+    for pl in payloads:
+        # cross-process partial-sum order shifts IR by ~1e-16 relative
+        np.testing.assert_allclose(np.asarray(pl['IR']), host.IR,
+                                   rtol=1e-12, equal_nan=True)
+        np.testing.assert_array_equal(
+            np.asarray(pl['gap'][:Lp], bool), host.gap)
+        assert pl['nnz'] == host.nnz()
+    assert payloads[0]['cand_hist'] == payloads[1]['cand_hist']

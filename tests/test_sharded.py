@@ -85,3 +85,39 @@ def test_sharded_hiccups_device_ir_matches_single_device(synth):
     for k in single:
         np.testing.assert_allclose(np.asarray(single[k], float),
                                    np.asarray(sharded[k], float), rtol=1e-9)
+
+
+def test_sharded_ingestion_matches_host_loader(synth):
+    """parallel.multihost.sharded_bands_from_cooler (per-host column-tile
+    reads via the bin1_offset index + small reductions) must reproduce
+    the host loader's band content, vectors and candidate totals, and
+    feed the mesh engine to identical peak tables."""
+    from hicpeaks_tpu.parallel.multihost import sharded_bands_from_cooler
+
+    clr, _ = synth
+    cfg = HiccupsConfig(pw=(1,), ww=(3,), maxww=8, maxapart=2000000,
+                        min_marginal_peaks=2, min_local_reads=16)
+    mesh = make_tile_mesh(8)
+    host = bands_from_cooler(clr, '21', cfg.maxapart, cfg.maxww, 3,
+                             dtype=np.float64)
+    shd = sharded_bands_from_cooler(clr, '21', cfg.maxapart, cfg.maxww, 3,
+                                    mesh, dtype=np.float64)
+
+    Lp = host.raw.shape[1]
+    raw_global = np.asarray(shd.raw)        # single process: fully local
+    np.testing.assert_array_equal(raw_global[:, :Lp], host.raw)
+    assert not raw_global[:, Lp:].any()
+    np.testing.assert_allclose(shd.IR, host.IR, rtol=0, atol=0)
+    np.testing.assert_array_equal(shd.gap[:Lp], host.gap)
+    np.testing.assert_allclose(shd.bias[:Lp], host.bias)
+    np.testing.assert_allclose(shd.w0[:Lp], host.w0)
+    assert shd.candidate_total(3, cfg.maxapart // clr.binsize) == \
+        host.candidate_total(3, cfg.maxapart // clr.binsize)
+    assert shd.nnz() == host.nnz()
+
+    want = engine.hiccups_chrom(host, cfg, mesh=mesh)
+    got = engine.hiccups_chrom(shd, cfg, mesh=mesh)
+    assert set(want) == set(got)
+    for k in want:
+        np.testing.assert_allclose(np.asarray(want[k], float),
+                                   np.asarray(got[k], float), rtol=1e-12)
