@@ -88,6 +88,23 @@ def main():
         t_oracle = time.time() - t0
         log(f'float64 oracle: {t_oracle:.1f}s, {len(want)} peaks')
 
+        # device BH (threshold histogram + compacted q lookup) vs the f64
+        # host BH on hardware: guards the class of bug found in round 2
+        # (TPU default-precision selection matmuls silently bf16-truncate
+        # selected q-values)
+        t0 = time.time()
+        dev_tab = engine.hiccups_chrom(bands, cfg, bh_backend='device')
+        host_tab = engine.hiccups_chrom(bands, cfg, bh_backend='host')
+        bh_loci_equal = set(dev_tab) == set(host_tab)
+        bh_max_rel = 0.0
+        for k in set(dev_tab) & set(host_tab):
+            a = np.asarray(dev_tab[k][3:], float)
+            b = np.asarray(host_tab[k][3:], float)
+            bh_max_rel = max(bh_max_rel, float(np.max(
+                np.abs(a - b) / np.maximum(np.abs(b), 1e-30))))
+        log(f'device-vs-host BH: loci_equal={bh_loci_equal}, '
+            f'max_rel={bh_max_rel:.2e} ({time.time() - t0:.1f}s)')
+
     common = set(got) & set(want)
     max_rel = 0.0
     geometry_ok = True
@@ -106,6 +123,8 @@ def main():
         'pallas_vs_jnp': 'PASS (allclose rtol=1e-5 on all capture tensors, '
                          'both (pw,ww) pairs, asserted in validate mode)',
         'validate_wall_s': round(t_validate, 1),
+        'device_vs_host_bh': {'loci_equal': bool(bh_loci_equal),
+                              'max_rel_stat_diff': bh_max_rel},
         'engine_peaks': len(got),
         'oracle_peaks': len(want),
         'loci_jaccard': round(len(common) / union, 4) if union else 1.0,
