@@ -311,7 +311,7 @@ def _score_all_pairs(raw, cband, IR, Bprod, outs, pairs, cand, L, sig,
         raw, cband, IR, Bprod, caps, cand, gap_drop, sig,
         wis=tuple(int(wi) for _, wi in pairs), L=int(L), chunked=True,
         o_cap=o_cap, keep_cap=_KEEP_CAP_FAST)
-    fetched = jax.device_get(tuple((oK[:8], oY[:8]) for oK, oY in dev))
+    fetched = _fetch(tuple((oK[:8], oY[:8]) for oK, oY in dev))
     results = []
     for (fK, fY), (oK, oY) in zip(fetched, dev):
         rK = _compact_to_host(fK, oK[8], _KEEP_CAP_FAST)
@@ -327,6 +327,31 @@ def _gather_pairs(a, d_idx, x_idx):
     """Tiny device gather for postcheck lookups into a resident dense
     array (index arrays are padded to bucketed sizes by the caller)."""
     return a[d_idx, x_idx]
+
+
+def _fetch(tree):
+    """``jax.device_get`` that also works on a multi-process mesh.
+
+    Global arrays whose shards live on other processes cannot be read
+    directly; such leaves are first replicated with a jitted identity
+    carrying replicated out_shardings (one all-gather — every leaf here
+    is a <= keep_cap compacted bundle, a few MB at most).  Fully
+    addressable or fully replicated leaves pass straight through."""
+    def needs(l):
+        return (isinstance(l, jax.Array) and not l.is_fully_addressable
+                and not l.sharding.is_fully_replicated)
+
+    leaves = [l for l in jax.tree_util.tree_leaves(tree) if needs(l)]
+    if leaves:
+        from jax.sharding import NamedSharding, PartitionSpec
+        rep = NamedSharding(leaves[0].sharding.mesh, PartitionSpec())
+
+        def reshard(l):
+            return jax.jit(lambda x: x, out_shardings=rep)(l) if needs(l) \
+                else l
+
+        tree = jax.tree_util.tree_map(reshard, tree)
+    return jax.device_get(tree)
 
 
 def _bh_plan(chunked, bh_backend, max_count):
@@ -377,7 +402,7 @@ def _score_pair(raw, cband, IR, Bprod, KS, KE, YS, YE, wi, cand, L, sig,
         outK, outY = _score_device_compact_pair(
             raw, cband, IR, Bprod, KS, KE, YS, YE, cand, gap_drop, sig,
             wi=int(wi), L=int(L), chunked=True, o_cap=o_cap, keep_cap=cap)
-        fK, fY = jax.device_get((outK[:8], outY[:8]))  # one bundled transfer
+        fK, fY = _fetch((outK[:8], outY[:8]))          # one bundled transfer
         rK = _compact_to_host(fK, outK[8], cap)
         rY = _compact_to_host(fY, outY[8], cap)
         if rK is not None and rY is not None:
@@ -449,7 +474,7 @@ def _score_one(raw, cband, IR, Bprod, bSV, bEV, wi, cand, L, sig, gap_drop,
                     raw, cband, IR, Bprod, bSV, bEV, cand, gap_drop, sig,
                     wi=int(wi), L=int(L), keep_cap=cap)
             cnt, d_idx, x_idx, Ov, ICEv, Foldv, pv, rankv, m, gapv = \
-                jax.device_get(out[:10])
+                _fetch(out[:10])
             n = int(cnt)
             if n <= cap:
                 d_idx, x_idx = d_idx[:n], x_idx[:n]
@@ -476,7 +501,7 @@ def _score_one(raw, cband, IR, Bprod, bSV, bEV, wi, cand, L, sig, gap_drop,
                     wi=int(wi), L=int(L), chunked=chunked, o_cap=o_cap,
                     keep_cap=cap)
             cnt, d_idx, x_idx, Ov, ICEv, Foldv, pv, qv = \
-                jax.device_get(out[:8])     # one bundled host transfer
+                _fetch(out[:8])             # one bundled host transfer
             n = int(cnt)
             if n <= cap:
                 d_idx, x_idx = d_idx[:n], x_idx[:n]
@@ -640,7 +665,9 @@ def hiccups_chrom(bands: ChromBands, cfg: HiccupsConfig, mesh=None,
     outs = _capture_pass(raw, cband, eband, cand, allowed, plan, p_list,
                          cfg.min_local_reads, mesh, scan_backend)
 
-    max_count = float(bands.raw.max())
+    max_count = getattr(bands, 'max_count', None)
+    if max_count is None:
+        max_count = float(bands.raw.max())
 
     pairs = list(zip(pw, ww))
     multi = None
@@ -699,8 +726,8 @@ def hiccups_chrom(bands: ChromBands, cfg: HiccupsConfig, mesh=None,
             xi = np.zeros(cap, np.int32)
             di[:len(pc)] = [cj - ci for ci, cj in pc]
             xi[:len(pc)] = [ci for ci, _ in pc]
-            vals = np.asarray(_gather_pairs(rY['prod'], jnp.asarray(di),
-                                            jnp.asarray(xi)))[:len(pc)]
+            vals = np.asarray(_fetch(_gather_pairs(
+                rY['prod'], jnp.asarray(di), jnp.asarray(xi))))[:len(pc)]
             for (ci, cj), v in zip(pc, vals):
                 if v == 0:
                     commonPos.add((ci, cj))

@@ -166,15 +166,18 @@ def sharded_bands_from_cooler(clr, chrom, maxapart, maxww, ww_min, mesh,
                          minlength=Lpm)[:Lpm]
     cand = np.bincount(dd[ct != 0], minlength=num_p)[:num_p]
 
+    max_count = float(ct.max()) if ct.size else 0.0
     if jax.process_count() > 1:
         packed = np.concatenate([csum, nan_counts.astype(np.float64),
-                                 colsum, cand.astype(np.float64)])
-        total = np.asarray(multihost_utils.process_allgather(packed)
-                           ).sum(axis=0)
+                                 colsum, cand.astype(np.float64),
+                                 [max_count]])
+        rows = np.asarray(multihost_utils.process_allgather(packed))
+        total = rows.sum(axis=0)
         csum = total[:num_p]
         nan_counts = total[num_p:2 * num_p]
         colsum = total[2 * num_p:2 * num_p + Lpm]
-        cand = total[2 * num_p + Lpm:]
+        cand = total[2 * num_p + Lpm:-1]
+        max_count = float(rows[:, -1].max())
 
     diag_len = np.maximum(L - np.arange(num_p), 0)
     denom = diag_len - nan_counts
@@ -192,8 +195,11 @@ def sharded_bands_from_cooler(clr, chrom, maxapart, maxww, ww_min, mesh,
     nanw = np.zeros(Lpm, bool)
     nanw[:L] = np.isnan(w)
 
-    return ChromBands(raw=raw, IR=IR.astype(dtype), bias=bias.astype(dtype),
-                      w0=w0.astype(dtype), gap=gap, L=L, num=num, res=res,
-                      chrom=chrom.lstrip('chr'), ww_min=ww_min,
-                      sparse=(dd, b1, cvals, ct), nanw=nanw,
-                      cand_hist=cand.astype(np.int64))
+    bands = ChromBands(raw=raw, IR=IR.astype(dtype), bias=bias.astype(dtype),
+                       w0=w0.astype(dtype), gap=gap, L=L, num=num, res=res,
+                       chrom=chrom.lstrip('chr'), ww_min=ww_min,
+                       sparse=(dd, b1, cvals, ct), nanw=nanw,
+                       cand_hist=cand.astype(np.int64))
+    bands.max_count = max_count   # global, so the engine's o_cap/bh plan
+                                  # never touches the sharded slab
+    return bands

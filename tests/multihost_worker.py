@@ -20,6 +20,7 @@ def main():
     uri, out_path = sys.argv[1], sys.argv[2]
     use_mesh = '--mesh' in sys.argv[3:]
     tile_ingest = '--tile-ingest' in sys.argv[3:]
+    global_engine = '--global-engine' in sys.argv[3:]
 
     from hicpeaks_tpu.parallel.launch import maybe_initialize_distributed
     assert maybe_initialize_distributed(), 'distributed env vars missing'
@@ -27,6 +28,8 @@ def main():
 
     if tile_ingest:
         return run_tile_ingest(uri, out_path)
+    if global_engine:
+        return run_global_engine(uri, out_path)
 
     mesh = None
     if use_mesh:
@@ -41,6 +44,38 @@ def main():
 
     payload = {c: {','.join(map(str, k)): list(map(float, v))
                    for k, v in t.items()} for c, t in results.items()}
+    with open(out_path, 'w') as f:
+        json.dump(payload, f, sort_keys=True)
+    print('WORKER-OK', jax.process_index(), flush=True)
+
+
+def run_global_engine(uri, out_path):
+    """Engine execution on a GLOBAL mesh spanning both processes: sharded
+    per-host ingestion feeds bhfdr_chrom/hiccups_chrom whose compacted
+    fetches replicate across processes (engine._fetch); every process must
+    emit the identical peak table."""
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from hicpeaks_tpu.core import engine
+    from hicpeaks_tpu.core.config import BHFDRConfig, HiccupsConfig
+    from hicpeaks_tpu.io.coolerlite import CoolerLite
+    from hicpeaks_tpu.parallel.multihost import sharded_bands_from_cooler
+
+    clr = CoolerLite(uri)
+    mesh = Mesh(np.array(jax.devices()), ('tiles',))
+    tables = {}
+    for chrom in ('1', '2'):
+        bands = sharded_bands_from_cooler(clr, chrom, 1_000_000, 6, 3, mesh,
+                                          dtype=np.float64)
+        bcfg = BHFDRConfig(pw=1, ww=3, maxww=6, maxapart=1_000_000)
+        tables[f'bhfdr.{chrom}'] = engine.bhfdr_chrom(bands, bcfg, mesh=mesh)
+        hcfg = HiccupsConfig(pw=(1,), ww=(3,), maxww=6, maxapart=1_000_000,
+                             min_marginal_peaks=2, min_local_reads=16)
+        tables[f'hiccups.{chrom}'] = engine.hiccups_chrom(bands, hcfg,
+                                                          mesh=mesh)
+    payload = {name: {','.join(map(str, k)): list(map(float, v))
+                      for k, v in t.items()} for name, t in tables.items()}
     with open(out_path, 'w') as f:
         json.dump(payload, f, sort_keys=True)
     print('WORKER-OK', jax.process_index(), flush=True)

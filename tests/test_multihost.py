@@ -193,3 +193,74 @@ def test_two_process_per_host_ingestion(two_chrom_cooler, tmp_path):
             np.asarray(pl['gap'][:Lp], bool), host.gap)
         assert pl['nnz'] == host.nnz()
     assert payloads[0]['cand_hist'] == payloads[1]['cand_hist']
+
+
+def test_two_process_global_mesh_engine(two_chrom_cooler, tmp_path):
+    """Full engine execution on a 4-device mesh spanning two processes
+    (per-host ingestion + halo-sharded scan + replicated compact fetches):
+    both processes emit the identical tables, equal to single-process."""
+    uri = two_chrom_cooler
+    port = _free_port()
+    worker = os.path.join(os.path.dirname(__file__), 'multihost_worker.py')
+
+    procs, outs = [], []
+    for pid in range(2):
+        out = tmp_path / f'genginer.{pid}.json'
+        outs.append(out)
+        env = dict(os.environ)
+        env['HICPEAKS_COORDINATOR'] = f'localhost:{port}'
+        env['HICPEAKS_NUM_PROCESSES'] = '2'
+        env['HICPEAKS_PROCESS_ID'] = str(pid)
+        env['JAX_PLATFORMS'] = 'cpu'
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env['PYTHONPATH'] = ':'.join(
+            [repo] + ([env['PYTHONPATH']] if env.get('PYTHONPATH') else []))
+        flags = [f for f in env.get('XLA_FLAGS', '').split()
+                 if 'device_count' not in f]
+        env['XLA_FLAGS'] = ' '.join(
+            flags + ['--xla_force_host_platform_device_count=2'])
+        procs.append(subprocess.Popen(
+            [sys.executable, worker, uri, str(out), '--global-engine'],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True))
+    for p in procs:
+        try:
+            stdout, stderr = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, f'worker failed:\n{stdout}\n{stderr[-4000:]}'
+
+    t0, t1 = (json.loads(o.read_text()) for o in outs)
+    assert t0 == t1
+    assert set(t0) == {'bhfdr.1', 'bhfdr.2', 'hiccups.1', 'hiccups.2'}
+
+    # equals the single-process engines on host-loaded bands
+    from hicpeaks_tpu.core import engine
+    from hicpeaks_tpu.core.config import HiccupsConfig
+    from hicpeaks_tpu.ops.band import bands_from_cooler
+    clr = CoolerLite(uri)
+    for chrom in ('1', '2'):
+        bands = bands_from_cooler(clr, chrom, 1_000_000, 6, 3,
+                                  dtype=np.float64)
+        from hicpeaks_tpu.core.config import BHFDRConfig
+        bcfg = BHFDRConfig(pw=1, ww=3, maxww=6, maxapart=1_000_000)
+        want = engine.bhfdr_chrom(bands, bcfg)
+        got = {tuple(int(float(x)) for x in k.split(',')): tuple(v)
+               for k, v in t0[f'bhfdr.{chrom}'].items()}
+        assert set(got) == set(want)
+        for k in want:
+            np.testing.assert_allclose(np.asarray(got[k], float),
+                                       np.asarray(want[k], float),
+                                       rtol=1e-9)
+        hcfg = HiccupsConfig(pw=(1,), ww=(3,), maxww=6, maxapart=1_000_000,
+                             min_marginal_peaks=2, min_local_reads=16)
+        want = engine.hiccups_chrom(bands, hcfg)
+        got = {tuple(int(float(x)) for x in k.split(',')): tuple(v)
+               for k, v in t0[f'hiccups.{chrom}'].items()}
+        assert set(got) == set(want)
+        for k in want:
+            np.testing.assert_allclose(np.asarray(got[k], float),
+                                       np.asarray(want[k], float),
+                                       rtol=1e-9)
