@@ -9,8 +9,10 @@ Baseline: the reference CPU implementation scores ~20K candidate pixels/s
 BASELINE.md).  Here a synthetic chromosome at 10Kb with a 2Mb search span
 runs the production device pipeline per iteration:
   pass A (freeze counts) + Pallas fused capture pass + corrected
-  expectations + lambda-chunk Poisson p-values + segmented BH + gap filter
-for both backgrounds, and reports candidate pixels scored per second.
+  expectations + threshold-form lambda-chunk histogram BH + compacted
+  p/q extraction + gap filter (engine._compact_one, the production
+  scorer) for both backgrounds, and reports candidate pixels scored per
+  second.
 
 Stage progress goes to stderr so a stalled compile is diagnosable.
 Environment knobs: HICPEAKS_BENCH_L (bins), HICPEAKS_BENCH_SPAN (bp),

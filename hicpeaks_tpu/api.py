@@ -39,7 +39,8 @@ def _ckpt_path(checkpoint_dir, kind, chrom):
 def _save_ckpt(path, table):
     payload = {','.join(map(str, k)): list(map(float, v))
                for k, v in table.items()}
-    tmp = path + '.tmp'
+    tmp = f'{path}.tmp.{os.getpid()}'   # unique per process: global-mesh
+                                        # runs may checkpoint concurrently
     with open(tmp, 'w') as f:
         json.dump(payload, f)
     os.replace(tmp, path)
@@ -78,11 +79,22 @@ def _run(kind, cooler_uri, cfg, chroms, mesh, scan_backend, checkpoint_dir,
     # all-gathered at the end so every process returns the full result).
     my_chroms = _selected_chroms(clr, chroms)
     nproc = jax.process_count()
-    if nproc > 1:
+    # A mesh containing other processes' devices selects the GLOBAL-mesh
+    # strategy: every process works every chromosome together (band tiles
+    # sharded across hosts, per-host ingestion); otherwise multi-host
+    # means chromosome data-parallelism.
+    global_mesh = mesh is not None and nproc > 1 and any(
+        d.process_index != jax.process_index()
+        for d in np.asarray(mesh.devices).flat)
+    if nproc > 1 and not global_mesh:
         from .parallel.multihost import assign_chroms
         my_chroms = assign_chroms(my_chroms, nproc, jax.process_index())
         log.info('multi-host: process %d/%d handles chromosomes %s',
                  jax.process_index(), nproc, my_chroms)
+    elif global_mesh:
+        log.info('multi-host: global %d-device mesh across %d processes; '
+                 'chromosomes are tile-sharded, ingestion is per-host',
+                 np.asarray(mesh.devices).size, nproc)
     # resolve checkpoints first so the prefetch thread only builds what
     # will actually run
     todo = []
@@ -129,14 +141,30 @@ def _run(kind, cooler_uri, cfg, chroms, mesh, scan_backend, checkpoint_dir,
                                   'will transfer synchronously')
             band_q.put((key, bands, time.perf_counter() - t0, None))
 
-    producer = threading.Thread(target=_producer, name=f'{kind}-band-loader',
-                                daemon=True)
+    def _next_global(key):
+        # GLOBAL-mesh mode: sharded ingestion issues collectives
+        # (make_array + allgather); running it concurrently with the
+        # engine's collectives could interleave differently across
+        # processes, so build synchronously in SPMD order instead of on
+        # the prefetch thread
+        from .parallel.multihost import sharded_bands_from_cooler
+        t0 = time.perf_counter()
+        bands = sharded_bands_from_cooler(
+            clr, key, cfg.maxapart, cfg.maxww, ww_min, mesh,
+            dtype=dtype, weight_name=cfg.clr_weight_name,
+            lane_pad=shape_bucket)
+        return key, bands, time.perf_counter() - t0, None
+
+    producer = threading.Thread(
+        target=_producer if not global_mesh else lambda: None,
+        name=f'{kind}-band-loader', daemon=True)
     producer.start()
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
     try:
-        for _ in todo:
-            key, bands, t_band, exc = band_q.get()
+        for key_i in todo:
+            key, bands, t_band, exc = (_next_global(key_i) if global_mesh
+                                       else band_q.get())
             label = key.lstrip('chr')
             if exc is not None:
                 raise exc
@@ -165,7 +193,8 @@ def _run(kind, cooler_uri, cfg, chroms, mesh, scan_backend, checkpoint_dir,
                      '%d peaks', label, n_cand, dt, t_band,
                      n_cand / max(dt, 1e-9), len(table))
             results[label] = table
-            if checkpoint_dir:
+            if checkpoint_dir and (not global_mesh
+                                   or jax.process_index() == 0):
                 _save_ckpt(_ckpt_path(checkpoint_dir, kind, label), table)
     finally:
         # unblock the producer if we're leaving early (exception/retry
@@ -178,10 +207,10 @@ def _run(kind, cooler_uri, cfg, chroms, mesh, scan_backend, checkpoint_dir,
                 time.sleep(0.05)
         if profile_dir:
             jax.profiler.stop_trace()
-    if nproc > 1:
+    if nproc > 1 and not global_mesh:
         from .parallel.multihost import gather_tables
         results = gather_tables(results)
-    return results
+    return results   # global-mesh runs hold the full result on every process
 
 
 def call_hiccups(cooler_uri, cfg: HiccupsConfig = None, chroms=('#', 'X'),

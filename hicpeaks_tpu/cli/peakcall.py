@@ -46,7 +46,34 @@ def _engine_args(parser):
     g.add_argument('--checkify', action='store_true',
                    help='Run the scoring step under jax checkify '
                    '(NaN/inf/out-of-bounds instrumentation; slower).')
+    g.add_argument('--watchdog', type=int, default=0, metavar='SECONDS',
+                   help='Abort with a logged error if the run exceeds this '
+                   'many seconds (0 = off).  Uses SIGALRM + a timer-thread '
+                   'backstop and exits via os._exit, so a hung accelerator '
+                   'runtime cannot leave the process wedged mid-operation '
+                   '(killing it externally can wedge shared device '
+                   'tunnels/grants for far longer).')
     return g
+
+
+def _arm_watchdog(seconds):
+    if not seconds:
+        return
+    import logging
+    import os as _os
+    import signal
+    import threading
+
+    def fire(*_):
+        logging.getLogger(__name__).error(
+            'watchdog: run exceeded %ds; aborting', seconds)
+        _os._exit(3)
+
+    signal.signal(signal.SIGALRM, fire)
+    signal.alarm(seconds)
+    t = threading.Timer(seconds + 30, fire)
+    t.daemon = True
+    t.start()
 
 
 def hiccups_main(argv=None):
@@ -99,6 +126,7 @@ def hiccups_main(argv=None):
         return 1
 
     logger = setup_logging(args.logFile)
+    _arm_watchdog(args.watchdog)
     echo_arguments(logger, [
         ('Output file', args.output), ('Cooler URI', args.path),
         ('Chromosomes', args.chroms), ('Peak window width', args.pw),
@@ -184,6 +212,7 @@ def bhfdr_main(argv=None):
         return 1
 
     logger = setup_logging(args.logFile, rotating=True)
+    _arm_watchdog(args.watchdog)
     echo_arguments(logger, [
         ('Output file', args.output), ('Cooler URI', args.path),
         ('Chromosomes', args.chroms), ('Peak window width', args.pw),

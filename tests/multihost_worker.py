@@ -21,6 +21,7 @@ def main():
     use_mesh = '--mesh' in sys.argv[3:]
     tile_ingest = '--tile-ingest' in sys.argv[3:]
     global_engine = '--global-engine' in sys.argv[3:]
+    global_api = '--global-api' in sys.argv[3:]
 
     from hicpeaks_tpu.parallel.launch import maybe_initialize_distributed
     assert maybe_initialize_distributed(), 'distributed env vars missing'
@@ -30,6 +31,8 @@ def main():
         return run_tile_ingest(uri, out_path)
     if global_engine:
         return run_global_engine(uri, out_path)
+    if global_api:
+        return run_global_api(uri, out_path)
 
     mesh = None
     if use_mesh:
@@ -42,6 +45,27 @@ def main():
     cfg = BHFDRConfig(pw=1, ww=3, maxww=6, maxapart=1_000_000)
     results = call_bhfdr(uri, cfg, mesh=mesh)
 
+    payload = {c: {','.join(map(str, k)): list(map(float, v))
+                   for k, v in t.items()} for c, t in results.items()}
+    with open(out_path, 'w') as f:
+        json.dump(payload, f, sort_keys=True)
+    print('WORKER-OK', jax.process_index(), flush=True)
+
+
+def run_global_api(uri, out_path):
+    """api.call_bhfdr with a GLOBAL mesh spanning both processes: the api
+    must select tile-sharded per-host ingestion (no chromosome
+    partitioning) and return the full genome-wide table on each process
+    without the final gather."""
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from hicpeaks_tpu.api import call_bhfdr
+    from hicpeaks_tpu.core.config import BHFDRConfig
+
+    mesh = Mesh(np.array(jax.devices()), ('tiles',))
+    cfg = BHFDRConfig(pw=1, ww=3, maxww=6, maxapart=1_000_000)
+    results = call_bhfdr(uri, cfg, mesh=mesh)
     payload = {c: {','.join(map(str, k)): list(map(float, v))
                    for k, v in t.items()} for c, t in results.items()}
     with open(out_path, 'w') as f:

@@ -264,3 +264,44 @@ def test_two_process_global_mesh_engine(two_chrom_cooler, tmp_path):
             np.testing.assert_allclose(np.asarray(got[k], float),
                                        np.asarray(want[k], float),
                                        rtol=1e-9)
+
+
+def test_two_process_global_mesh_api(two_chrom_cooler, tmp_path):
+    """api.call_bhfdr on a mesh spanning two processes selects the
+    tile-sharded strategy end to end and equals the single-process API."""
+    uri = two_chrom_cooler
+    port = _free_port()
+    worker = os.path.join(os.path.dirname(__file__), 'multihost_worker.py')
+
+    procs, outs = [], []
+    for pid in range(2):
+        out = tmp_path / f'gapi.{pid}.json'
+        outs.append(out)
+        env = dict(os.environ)
+        env['HICPEAKS_COORDINATOR'] = f'localhost:{port}'
+        env['HICPEAKS_NUM_PROCESSES'] = '2'
+        env['HICPEAKS_PROCESS_ID'] = str(pid)
+        env['JAX_PLATFORMS'] = 'cpu'
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env['PYTHONPATH'] = ':'.join(
+            [repo] + ([env['PYTHONPATH']] if env.get('PYTHONPATH') else []))
+        flags = [f for f in env.get('XLA_FLAGS', '').split()
+                 if 'device_count' not in f]
+        env['XLA_FLAGS'] = ' '.join(
+            flags + ['--xla_force_host_platform_device_count=2'])
+        procs.append(subprocess.Popen(
+            [sys.executable, worker, uri, str(out), '--global-api'],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True))
+    for p in procs:
+        try:
+            stdout, stderr = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, f'worker failed:\n{stdout}\n{stderr[-4000:]}'
+
+    t0, t1 = (json.loads(o.read_text()) for o in outs)
+    assert t0 == t1
+    assert t0 == _single_process_expected(uri)
