@@ -71,11 +71,10 @@ def main(argv=None):
     matplotlib.use('Agg')
     import matplotlib.pyplot as plt
     from matplotlib.colors import LinearSegmentedColormap
-    import jax.numpy as jnp
 
     from ..io.coolerlite import CoolerLite
     from ..io.peakfile import parse_peakfile, find_chrom_pre
-    from ..ops.apa_ops import apa_windows, apa_analysis
+    from ..ops.apa_ops import apa_analysis
 
     cmap = LinearSegmentedColormap.from_list(
         'interaction', ['#FFFFFF', '#ff9292', '#ff6767', '#F70000'])
@@ -114,11 +113,31 @@ def main(argv=None):
         nanband = np.zeros_like(band)
         nanband[d, b1] = nanvals
 
-        xs = jnp.asarray([p[0] for p in pos])
-        ys = jnp.asarray([p[1] for p in pos])
-        norm, ok, _ = apa_windows(jnp.asarray(band), jnp.asarray(nanband),
-                                  xs, ys, args.window, L)
-        norm = np.asarray(norm)[np.asarray(ok)]
+        # float64 numpy window extraction/normalization: the reference's
+        # 1/99-percentile trim (apa.py:33-35) compares post-normalization
+        # window means that are all ~1.0, so which windows it keeps is
+        # decided at the last ulp — pixel parity with scripts/apa-analysis
+        # therefore needs bit-identical f64 math here (the device path,
+        # ops/apa_ops.apa_windows, serves api/benchmark use where jnp's
+        # reduction order and default f32 are fine)
+        ww = args.window
+        xs = np.asarray([p[0] for p in pos])[:, None, None]
+        ys = np.asarray([p[1] for p in pos])[:, None, None]
+        off = np.arange(-ww, ww + 1)
+        a = xs + off[None, :, None]
+        b = ys + off[None, None, :]
+        dd = np.abs(b - a)
+        xx = np.minimum(a, b)
+        valid = (a >= 0) & (b >= 0) & (xx < L) & (dd < num)
+        wins = np.where(valid, band[np.clip(dd, 0, num - 1),
+                                    np.clip(xx, 0, L - 1)], 0.0)
+        nanwins = np.where(valid, nanband[np.clip(dd, 0, num - 1),
+                                          np.clip(xx, 0, L - 1)], 0.0)
+        inside = ((xs[:, 0, 0] - ww >= 0) & (ys[:, 0, 0] - ww >= 0) &
+                  (xs[:, 0, 0] + ww + 1 <= L) & (ys[:, 0, 0] + ww + 1 <= L))
+        means = wins.mean(axis=(1, 2))
+        ok = inside & (nanwins.sum(axis=(1, 2)) == 0) & (means != 0)
+        norm = wins[ok] / means[ok][:, None, None]
         stacks.append(norm)
 
     apa = np.concatenate(stacks, axis=0) if stacks else np.zeros(
