@@ -285,16 +285,33 @@ def balance(clr, nproc=1, chunksize=int(1e7), mad_max=5, min_nnz=10,
         lo, hi = clr.bin_range(chrom)
         L = hi - lo
         b1, b2, ct = clr.pixels_for_chrom(chrom)
-        num = L  # full triangle: balancing uses every diagonal
-        raw = np.zeros((max(1, (num + 7) // 8 * 8),
-                        max(1, (L + 127) // 128 * 128)), dtype)
-        dd = (b2 - b1)
-        raw[dd, b1] = ct
-        result = ice_balance_chrom(raw, L, ignore_diags=ignore_diags,
-                                   mad_max=mad_max, min_nnz=min_nnz,
-                                   min_count=min_count, tol=tol,
-                                   max_iters=max_iters, device=device)
+        # COO sweeps with power-of-two padding: the dense-band form costs
+        # one XLA compile per chromosome SHAPE (the dominant toCooler cost
+        # at genome scale: ~15 distinct while_loop programs) and streams a
+        # dense [L, L] band per iteration; the COO form is O(nnz) per
+        # sweep and every same-bucket chromosome shares one program.
+        # Zero-count padding pixels and empty padding bins are inert:
+        # counts of 0 contribute nothing to marginals/nnz, and bins with
+        # zero marginal never enter the mean/variance (nzm) nor survive
+        # the min_nnz/MAD filters, exactly as real empty bins.
+        nnz_pad = 1024
+        while nnz_pad < max(1, len(ct)):
+            nnz_pad *= 2
+        L_pad = 1024
+        while L_pad < L:
+            L_pad *= 2
+        b1p = np.zeros(nnz_pad, np.int32)
+        b2p = np.zeros(nnz_pad, np.int32)
+        ctp = np.zeros(nnz_pad, dtype)
+        b1p[:len(b1)] = b1
+        b2p[:len(b2)] = b2
+        ctp[:len(ct)] = ct
+        result = ice_balance_genome(b1p, b2p, ctp, L_pad,
+                                    ignore_diags=ignore_diags,
+                                    mad_max=mad_max, min_nnz=min_nnz,
+                                    min_count=min_count, tol=tol,
+                                    max_iters=max_iters, device=device)
         stats['converged'] = bool(stats['converged'] and result.converged)
-        weights.append(result.bias)
+        weights.append(result.bias[:L])
     clr.write_weights(np.concatenate(weights), stats, name=weight_name)
     return stats
