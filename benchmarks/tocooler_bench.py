@@ -40,26 +40,41 @@ def main():
     sys.path.insert(0, os.path.dirname(HERE))
     from hicpeaks_tpu.io.synth import synthesize_chrom, write_txt
 
-    res = 40000
+    res = int(os.environ.get('TC_RES', 40000))
     target = int(os.environ.get('TC_CONTACTS', 25_200_000))
-    # hg-like chromosome lengths at 40Kb, scaled to 15 chromosomes
+    ref_wall = float(os.environ.get('TC_REF_WALL', 475.0))
+    ref_row = os.environ.get('TC_REF_ROW',
+                             'T47D 40Kb toCooler 0:07:55 <600M '
+                             '(README.rst:287)')
+    genome_bins = int(os.environ.get('TC_GENOME_BINS', 77_000))
+    max_d = int(os.environ.get('TC_MAX_D', 436))
+    # hg-like chromosome lengths, scaled to 15 chromosomes
     rel = np.array([249, 243, 198, 191, 181, 171, 159, 146, 141, 136,
                     135, 133, 115, 107, 102], float)
-    bins = (rel / rel.sum() * 77_000).astype(int)   # ~77K bins genome-wide
+    bins = (rel / rel.sum() * genome_bins).astype(int)
 
     td = tempfile.mkdtemp(prefix='tocooler_bench_')
     folder = os.path.join(td, '40K')
     os.makedirs(folder)
     t0 = time.time()
     total = 0
-    # depth calibrated so the nonzero-record count lands on the reference
-    # row's 25.2M contacts (interpolated from measured 100->23.3M,
-    # 200->29.5M at this band geometry)
-    depth = 100.0 + (target - 23_307_646) * 100.0 / (29_510_372 - 23_307_646)
+    # self-calibrate depth so the nonzero-record count lands on the target:
+    # two pilot draws of the largest chromosome, log-linear interpolation
+    pilot = {}
+    frac = bins[0] / bins.sum()
+    for dpt in (100.0, 220.0):
+        b1, b2, ct, _, _ = synthesize_chrom(
+            n_bins=int(bins[0]), res=res, seed=400, depth=dpt, decay=0.85,
+            n_loops=300, max_loop_span_bins=max_d)
+        pilot[dpt] = len(ct) / frac
+    lo, hi = pilot[100.0], pilot[220.0]
+    t = np.clip((target - lo) / max(hi - lo, 1.0), -2.0, 6.0)
+    depth = max(1.0, 100.0 + t * 120.0)
+    log(f'pilot: depth 100 -> {lo:.3g}, 220 -> {hi:.3g}; using {depth:.0f}')
     for i, n in enumerate(bins):
         b1, b2, ct, _, _ = synthesize_chrom(
-            n_bins=int(n), res=res, seed=400 + i, depth=max(depth, 1.0),
-            decay=0.85, n_loops=300, max_loop_span_bins=436)
+            n_bins=int(n), res=res, seed=400 + i, depth=depth,
+            decay=0.85, n_loops=300, max_loop_span_bins=max_d)
         write_txt(os.path.join(folder, f'{i + 1}_{i + 1}.txt'), b1, b2, ct)
         total += len(ct)
     with open(os.path.join(td, 'meta'), 'w') as f:
@@ -90,13 +105,11 @@ def main():
     log(f'toCooler wall {wall:.0f}s, peak RSS {rss_gb:.2f}GB, '
         f'{n_ok}/{len(w)} balanced bins')
 
-    ref_wall = 475.0
     result = {
         'config': {'contacts': int(total), 'res': res,
                    'n_chroms': len(bins), 'genome_bins': int(bins.sum()),
                    'txt_gb': round(txt_bytes / 1e9, 2),
-                   'reference_row': 'T47D 40Kb toCooler 0:07:55 <600M '
-                                    '(README.rst:287)'},
+                   'reference_row': ref_row},
         'synth_s': round(t_synth, 1),
         'tocooler_wall_s': round(wall, 1),
         'peak_rss_gb': round(rss_gb, 2),
