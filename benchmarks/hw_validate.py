@@ -105,6 +105,23 @@ def main():
         log(f'device-vs-host BH: loci_equal={bh_loci_equal}, '
             f'max_rel={bh_max_rel:.2e} ({time.time() - t0:.1f}s)')
 
+        # bhfdr's sort-free fixpoint global BH vs the dense host path on
+        # hardware (keep superset + f64 completion must equal host BH)
+        from hicpeaks_tpu.core.config import BHFDRConfig
+        bcfg = BHFDRConfig(pw=1, ww=3, maxww=10, maxapart=2000000)
+        t0 = time.time()
+        bdev = engine.bhfdr_chrom(bands, bcfg, bh_backend='device')
+        bhost = engine.bhfdr_chrom(bands, bcfg, bh_backend='host')
+        bfix_loci_equal = set(bdev) == set(bhost)
+        bfix_max_rel = 0.0
+        for k in set(bdev) & set(bhost):
+            a = np.asarray(bdev[k][3:], float)
+            b = np.asarray(bhost[k][3:], float)
+            bfix_max_rel = max(bfix_max_rel, float(np.max(
+                np.abs(a - b) / np.maximum(np.abs(b), 1e-30))))
+        log(f'bhfdr fixpoint-vs-host BH: loci_equal={bfix_loci_equal}, '
+            f'max_rel={bfix_max_rel:.2e} ({time.time() - t0:.1f}s)')
+
     common = set(got) & set(want)
     max_rel = 0.0
     geometry_ok = True
@@ -125,6 +142,8 @@ def main():
         'validate_wall_s': round(t_validate, 1),
         'device_vs_host_bh': {'loci_equal': bool(bh_loci_equal),
                               'max_rel_stat_diff': bh_max_rel},
+        'bhfdr_fixpoint_vs_host_bh': {'loci_equal': bool(bfix_loci_equal),
+                                      'max_rel_stat_diff': bfix_max_rel},
         'engine_peaks': len(got),
         'oracle_peaks': len(want),
         'loci_jaccard': round(len(common) / union, 4) if union else 1.0,
