@@ -88,15 +88,29 @@ def main():
     log(f'synthesized {total} contact records ({txt_bytes / 1e9:.2f}GB TXT) '
         f'in {t_synth:.0f}s')
 
-    from hicpeaks_tpu.cli import tocooler
+    # run the CLI in a child so peak RSS covers toCooler alone (the
+    # synthesis above would otherwise dominate ru_maxrss)
+    import subprocess
     out = os.path.join(td, 'out.cool')
+    env = dict(os.environ, JAX_PLATFORMS='cpu',
+               PYTHONPATH=os.pathsep.join(
+                   [os.path.dirname(HERE)] +
+                   ([os.environ['PYTHONPATH']]
+                    if os.environ.get('PYTHONPATH') else [])))
     t0 = time.time()
-    rc = tocooler.main(['-O', out, '-d', os.path.join(td, 'meta'),
-                        '--chromsizes-file', os.path.join(td, 'sizes'),
-                        '--logFile', os.path.join(td, 'tc.log')])
+    rc = subprocess.call(
+        [sys.executable, '-c',
+         # force the CPU backend inside the child too: a sitecustomize may
+         # re-register accelerator platforms over JAX_PLATFORMS
+         'import sys, jax; jax.config.update("jax_platforms", "cpu"); '
+         'from hicpeaks_tpu.cli import tocooler; '
+         'sys.exit(tocooler.main(sys.argv[1:]))',
+         '-O', out, '-d', os.path.join(td, 'meta'),
+         '--chromsizes-file', os.path.join(td, 'sizes'),
+         '--logFile', os.path.join(td, 'tc.log')], env=env)
     wall = time.time() - t0
     assert rc == 0
-    rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    rss_gb = resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss / 1e6
 
     # balancing really happened: weights present and finite somewhere
     from hicpeaks_tpu.io.coolerlite import CoolerLite

@@ -70,12 +70,35 @@ def scan_npz(path, chroms):
 def _symmetrize_upper(x, y, vals, n):
     """The reference's intra-pair normalization (utilities.py:306-312):
     sum duplicates, mirror each stored (x, y) onto (y, x), keep the upper
-    triangle."""
-    M = sparse.csr_matrix((vals, (x, y)), shape=(n, n))
-    M = sparse.lil_matrix(M)
-    M[y, x] = M[x, y]
-    M = sparse.triu(M).tocoo()
-    return M.row, M.col, M.data
+    triangle.
+
+    Implemented with sorts instead of the reference's
+    ``lil[y, x] = lil[x, y]`` (a scipy fancy-assignment that costs
+    seconds per million pixels — over half of ingestion wall time at the
+    reference's benchmark scales).  Semantics preserved exactly,
+    including the quirk that when BOTH (a, b) and (b, a) appear in the
+    input, the mirror assignment overwrites the original upper value with
+    the lower one (the RHS is gathered before assignment, so the final
+    (a, b) carries the deduplicated (b, a) sum); proven equal to a
+    literal transcription in test_ingest_symmetrize."""
+    key = x.astype(np.int64) * n + y.astype(np.int64)
+    uk, inv = np.unique(key, return_inverse=True)
+    sums = np.bincount(inv, weights=np.asarray(vals, np.float64))
+    ux = uk // n
+    uy = uk % n
+    # upper-triangle position of each deduplicated entry; entries coming
+    # from the lower triangle are mirror-assignment targets and overwrite
+    # originals at the same upper position
+    fx = np.where(ux <= uy, ux, uy)
+    fy = np.where(ux <= uy, uy, ux)
+    is_mirror = ux > uy
+    k2 = fx * n + fy
+    order = np.lexsort((is_mirror, k2))     # mirror sorts after original
+    k2s = k2[order]
+    vs = sums[order]
+    last = np.r_[np.diff(k2s) != 0, True]   # keep the last per key
+    keys = k2s[last]
+    return keys // n, keys % n, vs[last]
 
 
 class _SortedRun:
