@@ -155,10 +155,11 @@ def _run(kind, cooler_uri, cfg, chroms, mesh, scan_backend, checkpoint_dir,
             lane_pad=shape_bucket)
         return key, bands, time.perf_counter() - t0, None
 
-    producer = threading.Thread(
-        target=_producer if not global_mesh else lambda: None,
-        name=f'{kind}-band-loader', daemon=True)
-    producer.start()
+    producer = None
+    if not global_mesh:
+        producer = threading.Thread(target=_producer,
+                                    name=f'{kind}-band-loader', daemon=True)
+        producer.start()
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
     try:
@@ -193,14 +194,17 @@ def _run(kind, cooler_uri, cfg, chroms, mesh, scan_backend, checkpoint_dir,
                      '%d peaks', label, n_cand, dt, t_band,
                      n_cand / max(dt, 1e-9), len(table))
             results[label] = table
-            if checkpoint_dir and (not global_mesh
-                                   or jax.process_index() == 0):
+            if checkpoint_dir:
+                # every process writes (atomic replace, pid-unique tmp,
+                # identical content): on restart each process sees its own
+                # checkpoint, so the SPMD `todo` lists - and therefore the
+                # collective schedules - stay identical across processes
                 _save_ckpt(_ckpt_path(checkpoint_dir, kind, label), table)
     finally:
         # unblock the producer if we're leaving early (exception/retry
         # exhaustion): it finishes at most the in-flight build, then exits
         stop.set()
-        while producer.is_alive():
+        while producer is not None and producer.is_alive():
             try:
                 band_q.get_nowait()
             except queue.Empty:

@@ -57,8 +57,11 @@ def _engine_args(parser):
 
 
 def _arm_watchdog(seconds):
+    """Returns a disarm callable (a no-op when seconds == 0) — callers
+    must disarm on success or the still-armed alarm would kill a host
+    process (pytest, notebook) long after the run returned."""
     if not seconds:
-        return
+        return lambda: None
     import logging
     import os as _os
     import signal
@@ -74,6 +77,12 @@ def _arm_watchdog(seconds):
     t = threading.Timer(seconds + 30, fire)
     t.daemon = True
     t.start()
+
+    def disarm():
+        signal.alarm(0)
+        t.cancel()
+
+    return disarm
 
 
 def hiccups_main(argv=None):
@@ -126,7 +135,7 @@ def hiccups_main(argv=None):
         return 1
 
     logger = setup_logging(args.logFile)
-    _arm_watchdog(args.watchdog)
+    disarm = _arm_watchdog(args.watchdog)
     echo_arguments(logger, [
         ('Output file', args.output), ('Cooler URI', args.path),
         ('Chromosomes', args.chroms), ('Peak window width', args.pw),
@@ -174,6 +183,7 @@ def hiccups_main(argv=None):
         for label, table in results.items():
             write_hiccups_bedpe(out, label, res, table)
     logger.info('Done!')
+    disarm()
     return 0
 
 
@@ -212,7 +222,7 @@ def bhfdr_main(argv=None):
         return 1
 
     logger = setup_logging(args.logFile, rotating=True)
-    _arm_watchdog(args.watchdog)
+    disarm = _arm_watchdog(args.watchdog)
     echo_arguments(logger, [
         ('Output file', args.output), ('Cooler URI', args.path),
         ('Chromosomes', args.chroms), ('Peak window width', args.pw),
@@ -249,4 +259,5 @@ def bhfdr_main(argv=None):
         for label, table in results.items():
             write_bhfdr_bedpe(out, label, res, table)
     logger.info('Done!')
+    disarm()
     return 0

@@ -345,13 +345,20 @@ def _fetch(tree):
     if leaves:
         from jax.sharding import NamedSharding, PartitionSpec
         rep = NamedSharding(leaves[0].sharding.mesh, PartitionSpec())
+        ident = _replicating_identity(rep)
 
         def reshard(l):
-            return jax.jit(lambda x: x, out_shardings=rep)(l) if needs(l) \
-                else l
+            return ident(l) if needs(l) else l
 
         tree = jax.tree_util.tree_map(reshard, tree)
     return jax.device_get(tree)
+
+
+@functools.lru_cache(maxsize=8)
+def _replicating_identity(sharding):
+    # one compiled all-gather identity per sharding (a fresh jit per call
+    # would re-trace and re-compile on every fetch)
+    return jax.jit(lambda x: x, out_shardings=sharding)
 
 
 def _bh_plan(chunked, bh_backend, max_count):
@@ -390,15 +397,17 @@ def _compact_to_host(fetched, prod, cap=_KEEP_CAP):
 
 
 def _score_pair(raw, cband, IR, Bprod, KS, KE, YS, YE, wi, cand, L, sig,
-                gap_drop, bh_backend='auto', max_count=None):
+                gap_drop, bh_backend='auto', max_count=None,
+                caps=(_KEEP_CAP_FAST, _KEEP_CAP)):
     """Fused scoring of both hiccups backgrounds in one device program +
     one host fetch.  Returns (rK, rY), or None when the fused device
     path does not apply (host BH, or keep-cap overflow) — the caller
-    then falls back to two :func:`_score_one` calls."""
+    then falls back to two :func:`_score_one` calls.  ``caps`` lets a
+    caller that already overflowed the fast tier start at the hard cap."""
     backend, o_cap = _bh_plan(True, bh_backend, max_count)
     if backend != 'device' or o_cap is None:
         return None
-    for cap in (_KEEP_CAP_FAST, _KEEP_CAP):
+    for cap in caps:
         outK, outY = _score_device_compact_pair(
             raw, cband, IR, Bprod, KS, KE, YS, YE, cand, gap_drop, sig,
             wi=int(wi), L=int(L), chunked=True, o_cap=o_cap, keep_cap=cap)
@@ -681,6 +690,14 @@ def hiccups_chrom(bands: ChromBands, cfg: HiccupsConfig, mesh=None,
         KS, KE, YS, YE = outs[pi]
         if multi is not None:
             pair = multi[pair_idx]
+            if pair is None:
+                # this pair overflowed the fused program's fast cap, so
+                # retry straight at the hard cap (the fast tier would
+                # deterministically overflow again)
+                pair = _score_pair(
+                    raw, cband, IR, Bprod, KS, KE, YS, YE, wi, cand,
+                    L, cfg.siglevel, gap_drop, bh_backend=bh_backend,
+                    max_count=max_count, caps=(_KEEP_CAP,))
         elif check:
             pair = None
         else:

@@ -135,23 +135,33 @@ def sharded_bands_from_cooler(clr, chrom, maxapart, maxww, ww_min, mesh,
     idx_map = sharding.addressable_devices_indices_map((num_p, Lpm))
     spans = sorted({(s[1].start or 0, s[1].stop if s[1].stop is not None
                      else Lpm) for s in idx_map.values()})
-    c_lo = min(s[0] for s in spans)
-    c_hi = max(s[1] for s in spans)
 
-    # one contiguous read covering this process's tiles
-    b1, b2, ct = clr.pixels_for_bin1_range(chrom, c_lo, min(c_hi, L))
-    d = (b2 - b1).astype(np.int64)
-    sel = (d >= 0) & (d < num) & (b2 < L)
-    b1, dd, ct = b1[sel], d[sel], ct[sel].astype(np.float64)
-
-    local = np.zeros((num_p, c_hi - c_lo), dtype)
-    local[dd, b1 - c_lo] = ct
+    # one read per OWNED span (a process's tiles need not be contiguous in
+    # mesh order — reading the min..max union would pull other processes'
+    # columns into this process's partial sums and double-count them after
+    # the allgather)
+    locals_ = {}
+    b1_parts, dd_parts, ct_parts = [], [], []
+    for c0, c1 in spans:
+        b1s, b2s, cts = clr.pixels_for_bin1_range(chrom, c0, min(c1, L))
+        ds = (b2s - b1s).astype(np.int64)
+        sel = (ds >= 0) & (ds < num) & (b2s < L)
+        b1s, ds, cts = b1s[sel], ds[sel], cts[sel].astype(np.float64)
+        slab = np.zeros((num_p, c1 - c0), dtype)
+        slab[ds, b1s - c0] = cts
+        locals_[(c0, c1)] = slab
+        b1_parts.append(b1s)
+        dd_parts.append(ds)
+        ct_parts.append(cts)
+    b1 = np.concatenate(b1_parts) if b1_parts else np.zeros(0, np.int64)
+    dd = np.concatenate(dd_parts) if dd_parts else np.zeros(0, np.int64)
+    ct = np.concatenate(ct_parts) if ct_parts else np.zeros(0, np.float64)
 
     def cb(index):
         cols = index[1]
         c0 = cols.start or 0
         c1 = cols.stop if cols.stop is not None else Lpm
-        return local[:, c0 - c_lo:c1 - c_lo]
+        return locals_[(c0, c1)]
 
     raw = jax.make_array_from_callback((num_p, Lpm), sharding, cb)
 
