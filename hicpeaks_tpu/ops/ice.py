@@ -281,7 +281,7 @@ def balance(clr, nproc=1, chunksize=int(1e7), mad_max=5, min_nnz=10,
         stats['converged'] = result.converged
         clr.write_weights(result.bias, stats, name=weight_name)
         return stats
-    for chrom in clr.chromnames:
+    def _one(chrom):
         lo, hi = clr.bin_range(chrom)
         L = hi - lo
         b1, b2, ct = clr.pixels_for_chrom(chrom)
@@ -311,7 +311,35 @@ def balance(clr, nproc=1, chunksize=int(1e7), mad_max=5, min_nnz=10,
                                     mad_max=mad_max, min_nnz=min_nnz,
                                     min_count=min_count, tol=tol,
                                     max_iters=max_iters, device=device)
-        stats['converged'] = bool(stats['converged'] and result.converged)
-        weights.append(result.bias[:L])
+        return result.bias[:L], result.converged
+
+    # chromosomes balance independently (the reference farms them to a
+    # Pool, utilities.py:392-396); XLA CPU executions release the GIL, so
+    # a small thread pool overlaps them with zero per-process copies.
+    # Results are deterministic regardless of completion order.  Worker
+    # count is bounded by a ~2GB in-flight budget (each chromosome holds
+    # roughly 64 bytes/pixel across the padded COO arrays and jit
+    # buffers) so deep high-resolution genomes stay within the
+    # reference's memory envelope (README.rst:291: <3.0G at K562 10Kb).
+    from concurrent.futures import ThreadPoolExecutor
+    max_nnz = 1
+    for chrom in clr.chromnames:
+        lo, hi = clr.bin_range(chrom)
+        b1o = clr.pixel_count_for_chrom(chrom) if hasattr(
+            clr, 'pixel_count_for_chrom') else None
+        if b1o is None:
+            # cheap upper bound from the bin1 index, no pixel read
+            import h5py
+            with h5py.File(clr.path, 'r') as h5:
+                idx = h5[clr.group]['indexes/bin1_offset']
+                b1o = int(idx[hi]) - int(idx[lo])
+        max_nnz = max(max_nnz, int(b1o))
+    budget_workers = max(1, int(2e9 // (64 * max_nnz)))
+    workers = min(4, budget_workers, max(1, len(clr.chromnames)))
+    with ThreadPoolExecutor(workers) as ex:
+        outs = list(ex.map(_one, clr.chromnames))
+    for bias, conv in outs:
+        stats['converged'] = bool(stats['converged'] and conv)
+        weights.append(bias)
     clr.write_weights(np.concatenate(weights), stats, name=weight_name)
     return stats
