@@ -474,3 +474,39 @@ def test_hiccups_fuzz_matches_reference(ref, tmp_path_factory, seed):
                               dtype=np.float64)
     got = engine.hiccups_chrom(bands, cfg)
     _assert_tables_match(got, want, slice(3, None))
+
+
+@pytest.mark.parametrize('seed', [711, 822, 933, 1044])
+def test_bhfdr_fuzz_matches_reference(ref, tmp_path_factory, seed):
+    """Randomized-config fuzz of the donut-only caller against the
+    in-process reference (random depth/gaps, pw/ww, maxww, siglevel,
+    span) — exercises the fixpoint global BH across data regimes."""
+    rng = np.random.default_rng(seed)
+    res = 25000
+    n_bins = int(rng.integers(180, 360))
+    path = tmp_path_factory.mktemp(f'bfz{seed}') / 'f.cool'
+    uri, _ = synthetic_cooler(
+        str(path), n_bins=n_bins, res=res, seed=seed,
+        n_loops=int(rng.integers(5, 30)),
+        depth=float(rng.uniform(20.0, 100.0)),
+        gap_frac=float(rng.uniform(0.0, 0.05)),
+        decay=float(rng.uniform(0.6, 1.0)))
+    clr = CoolerLite(uri)
+
+    pw = int(rng.integers(1, 4))
+    ww = pw + int(rng.integers(1, 4))
+    maxww = ww + int(rng.integers(1, 5))
+    sig = float(rng.choice([0.01, 0.05, 0.1]))
+    maxapart = int(rng.integers(25, 60)) * res
+    cfg = BHFDRConfig(pw=pw, ww=ww, maxww=maxww, siglevel=sig,
+                      maxapart=maxapart)
+
+    d = prepare_sparse(clr, '21', cfg.maxapart, cfg.maxww, ww)
+    want = ref.callers.bhfdr(d['M'], d['cM'], d['B'], d['B'], d['IR'],
+                             d['chromLen'], d['Diags'], d['cDiags'],
+                             d['num'], '21', pw=pw, ww=ww, sig=sig,
+                             maxww=maxww, maxapart=maxapart, res=res)
+    bands = bands_from_cooler(clr, '21', cfg.maxapart, cfg.maxww, ww,
+                              dtype=np.float64)
+    got = engine.bhfdr_chrom(bands, cfg)
+    _assert_tables_match(got, want, slice(3, None))
