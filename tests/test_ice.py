@@ -156,3 +156,47 @@ def test_genome_ice_differs_from_cis_only():
                                device=cpu).bias
     ok = ~(np.isnan(full) | np.isnan(cis_w))
     assert not np.allclose(full[ok], cis_w[ok], rtol=1e-3)
+
+
+def test_balance_padded_coo_matches_dense_chrom():
+    """balance()'s padded-COO per-chromosome route (power-of-two nnz/bin
+    padding, thread pool) must equal the dense band kernel per chromosome
+    — pins the inert-padding semantics."""
+    import tempfile
+
+    from hicpeaks_tpu.io.coolerlite import CoolerLite, binnify, \
+        create_cooler_file
+    from hicpeaks_tpu.io.synth import synthesize_chrom
+    from hicpeaks_tpu.ops.ice import balance
+
+    res = 25000
+    sizes, chunks = {}, []
+    offset = 0
+    per_chrom = {}
+    for c, n in (('1', 97), ('2', 64)):   # odd sizes exercise the padding
+        b1, b2, ct, _, _ = synthesize_chrom(n_bins=n, res=res, seed=int(c),
+                                            n_loops=6, depth=50.0)
+        sizes[c] = n * res
+        chunks.append({'bin1_id': b1 + offset, 'bin2_id': b2 + offset,
+                       'count': ct})
+        per_chrom[c] = (b1, b2, ct, n)
+        offset += n
+    td = tempfile.mkdtemp()
+    uri = f'{td}/b.cool::{res}'
+    create_cooler_file(uri, binnify(sizes, res),
+                       chunks, metadata={'onlyIntra': 'True'})
+    clr = CoolerLite(uri)
+    balance(clr)
+    got = clr.weights()
+
+    lo = 0
+    for c in ('1', '2'):
+        b1, b2, ct, n = per_chrom[c]
+        band = np.zeros((n, n))
+        band[b2 - b1, b1] = ct
+        want = ice_balance_chrom(band, n).bias
+        seg = got[lo:lo + n]
+        np.testing.assert_array_equal(np.isnan(seg), np.isnan(want))
+        ok = ~np.isnan(want)
+        np.testing.assert_allclose(seg[ok], want[ok], rtol=1e-5)
+        lo += n
