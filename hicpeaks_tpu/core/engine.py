@@ -175,9 +175,11 @@ _KEEP_CAP_FAST = 1 << 13   # first-attempt cap: the compact search and the
 
 
 def _compact_one(raw, cband, IR, Bprod, bSV, bEV, cand, gap_drop, sig, wi,
-                 L, chunked, o_cap, keep_cap):
+                 L, chunked, o_cap, keep_cap, hist_backend='jnp'):
     """Traced body shared by the single- and pair-background compact
-    scorers."""
+    scorers.  ``hist_backend`` selects the (chunk, count) histogram
+    implementation (ops/score._chunk_qtab): the fused Pallas kernel off
+    mesh on TPU, the jnp one-hot scan elsewhere."""
     E, O, ICE, Fold, scored, prod = score_ops.expected_observed(
         raw, cband, IR, Bprod, bSV, bEV, wi, cand, L)
     pval = qval = None
@@ -191,8 +193,9 @@ def _compact_one(raw, cband, IR, Bprod, bSV, bEV, cand, gap_drop, sig, wi,
             # costs of the scoring program at genome scale) runs over the
             # full sheet; both are deferred to the <= keep_cap compacted
             # pixels below
-            keep_q, qtab = score_ops.chunk_bh_keep(O, E, cid, valid, sig,
-                                                   o_cap=o_cap)
+            keep_q, qtab = score_ops.chunk_bh_keep(O, cid, valid, sig,
+                                                   o_cap=o_cap,
+                                                   hist_backend=hist_backend)
         else:
             pval = jnp.where(valid, score_ops.poisson_sf(O, rv), 1.0)
             qval = score_ops.segmented_bh(pval, cid, valid)
@@ -224,10 +227,10 @@ def _compact_one(raw, cband, IR, Bprod, bSV, bEV, cand, gap_drop, sig, wi,
 
 
 @functools.partial(jax.jit, static_argnames=('wi', 'L', 'chunked', 'o_cap',
-                                             'keep_cap'))
+                                             'keep_cap', 'hist_backend'))
 def _score_device_compact(raw, cband, IR, Bprod, bSV, bEV, cand, gap_drop,
                           sig, wi, L, chunked, o_cap=None,
-                          keep_cap=_KEEP_CAP):
+                          keep_cap=_KEEP_CAP, hist_backend='jnp'):
     """Device-BH scoring that compacts the kept pixels on device.
 
     Dense [num_p, Lp] sheets never cross to the host (on tunneled TPU
@@ -237,7 +240,7 @@ def _score_device_compact(raw, cband, IR, Bprod, bSV, bEV, cand, gap_drop,
     dense EM*ratio product stays resident on device for the hiccups
     postcheck, served by :func:`_gather_pairs`."""
     return _compact_one(raw, cband, IR, Bprod, bSV, bEV, cand, gap_drop,
-                        sig, wi, L, chunked, o_cap, keep_cap)
+                        sig, wi, L, chunked, o_cap, keep_cap, hist_backend)
 
 
 @functools.partial(jax.jit, static_argnames=('wi', 'L', 'chunked', 'o_cap',
@@ -263,26 +266,26 @@ def _score_device_compact_checked(raw, cband, IR, Bprod, bSV, bEV, cand,
 
 
 @functools.partial(jax.jit, static_argnames=('wi', 'L', 'chunked', 'o_cap',
-                                             'keep_cap'))
+                                             'keep_cap', 'hist_backend'))
 def _score_device_compact_pair(raw, cband, IR, Bprod, KS, KE, YS, YE, cand,
                                gap_drop, sig, wi, L, chunked, o_cap=None,
-                               keep_cap=_KEEP_CAP):
+                               keep_cap=_KEEP_CAP, hist_backend='jnp'):
     """Both backgrounds (donut 'K' and lower-left 'Y', callers.py:319-339)
     scored in ONE program: XLA shares the iota/valid/candidate
     subexpressions and the host pays a single dispatch + fetch round trip
     per (p, w) pair instead of two."""
     outK = _compact_one(raw, cband, IR, Bprod, KS, KE, cand, gap_drop,
-                        sig, wi, L, chunked, o_cap, keep_cap)
+                        sig, wi, L, chunked, o_cap, keep_cap, hist_backend)
     outY = _compact_one(raw, cband, IR, Bprod, YS, YE, cand, gap_drop,
-                        sig, wi, L, chunked, o_cap, keep_cap)
+                        sig, wi, L, chunked, o_cap, keep_cap, hist_backend)
     return outK, outY
 
 
 @functools.partial(jax.jit, static_argnames=('wis', 'L', 'chunked', 'o_cap',
-                                             'keep_cap'))
+                                             'keep_cap', 'hist_backend'))
 def _score_device_compact_multi(raw, cband, IR, Bprod, caps, cand, gap_drop,
                                 sig, wis, L, chunked, o_cap=None,
-                                keep_cap=_KEEP_CAP):
+                                keep_cap=_KEEP_CAP, hist_backend='jnp'):
     """Every (p, w) pair's two backgrounds scored in ONE program: the
     multi-parameter union (callers.py:132-232,345-349) then costs a single
     dispatch + fetch round trip per chromosome instead of one per pair,
@@ -291,14 +294,14 @@ def _score_device_compact_multi(raw, cband, IR, Bprod, caps, cand, gap_drop,
     for (KS, KE, YS, YE), wi in zip(caps, wis):
         out.append((
             _compact_one(raw, cband, IR, Bprod, KS, KE, cand, gap_drop,
-                         sig, wi, L, chunked, o_cap, keep_cap),
+                         sig, wi, L, chunked, o_cap, keep_cap, hist_backend),
             _compact_one(raw, cband, IR, Bprod, YS, YE, cand, gap_drop,
-                         sig, wi, L, chunked, o_cap, keep_cap)))
+                         sig, wi, L, chunked, o_cap, keep_cap, hist_backend)))
     return tuple(out)
 
 
 def _score_all_pairs(raw, cband, IR, Bprod, outs, pairs, cand, L, sig,
-                     gap_drop, bh_backend, max_count):
+                     gap_drop, bh_backend, max_count, hist_backend='jnp'):
     """Fused scoring of every (p, w) pair in one device program + one host
     fetch.  Returns a list of (rK, rY) aligned with ``pairs`` (entries are
     None on keep-cap overflow), or None when the fused path does not
@@ -310,7 +313,7 @@ def _score_all_pairs(raw, cband, IR, Bprod, outs, pairs, cand, L, sig,
     dev = _score_device_compact_multi(
         raw, cband, IR, Bprod, caps, cand, gap_drop, sig,
         wis=tuple(int(wi) for _, wi in pairs), L=int(L), chunked=True,
-        o_cap=o_cap, keep_cap=_KEEP_CAP_FAST)
+        o_cap=o_cap, keep_cap=_KEEP_CAP_FAST, hist_backend=hist_backend)
     fetched = _fetch(tuple((oK[:8], oY[:8]) for oK, oY in dev))
     results = []
     for (fK, fY), (oK, oY) in zip(fetched, dev):
@@ -361,6 +364,20 @@ def _replicating_identity(sharding):
     return jax.jit(lambda x: x, out_shardings=sharding)
 
 
+def _hist_plan(mesh, scan_backend):
+    """Resolve the (chunk, count) histogram backend.  The fused Pallas
+    kernel (ops/pallas_hist) only runs off-mesh — GSPMD cannot partition
+    a pallas_call embedded in an auto-sharded program — and follows the
+    scan backend's auto/pallas/interpret selection otherwise."""
+    if mesh is not None:
+        return 'jnp'
+    if scan_backend == 'auto':
+        return 'pallas' if jax.default_backend() == 'tpu' else 'jnp'
+    if scan_backend in ('pallas', 'pallas-interpret'):
+        return scan_backend
+    return 'jnp'
+
+
 def _bh_plan(chunked, bh_backend, max_count):
     """Resolve 'auto' and the histogram-BH count cap (shared by the
     single- and pair-background scorers)."""
@@ -398,7 +415,7 @@ def _compact_to_host(fetched, prod, cap=_KEEP_CAP):
 
 def _score_pair(raw, cband, IR, Bprod, KS, KE, YS, YE, wi, cand, L, sig,
                 gap_drop, bh_backend='auto', max_count=None,
-                caps=(_KEEP_CAP_FAST, _KEEP_CAP)):
+                caps=(_KEEP_CAP_FAST, _KEEP_CAP), hist_backend='jnp'):
     """Fused scoring of both hiccups backgrounds in one device program +
     one host fetch.  Returns (rK, rY), or None when the fused device
     path does not apply (host BH, or keep-cap overflow) — the caller
@@ -410,7 +427,8 @@ def _score_pair(raw, cband, IR, Bprod, KS, KE, YS, YE, wi, cand, L, sig,
     for cap in caps:
         outK, outY = _score_device_compact_pair(
             raw, cband, IR, Bprod, KS, KE, YS, YE, cand, gap_drop, sig,
-            wi=int(wi), L=int(L), chunked=True, o_cap=o_cap, keep_cap=cap)
+            wi=int(wi), L=int(L), chunked=True, o_cap=o_cap, keep_cap=cap,
+            hist_backend=hist_backend)
         fK, fY = _fetch((outK[:8], outY[:8]))          # one bundled transfer
         rK = _compact_to_host(fK, outK[8], cap)
         rY = _compact_to_host(fY, outY[8], cap)
@@ -463,7 +481,7 @@ def _score_device_bhfdr_compact_checked(raw, cband, IR, Bprod, bSV, bEV,
 
 def _score_one(raw, cband, IR, Bprod, bSV, bEV, wi, cand, L, sig, gap_drop,
                chunked: bool, bh_backend='auto', max_count=None,
-               check=False):
+               check=False, hist_backend='jnp'):
     """Poisson scoring of one background; returns host-side kept-pixel
     arrays (x, y, O, ICE, Fold, p, q) plus the dense EM*ratio product.
     ``check=True`` routes through the checkify-instrumented program and
@@ -508,7 +526,7 @@ def _score_one(raw, cband, IR, Bprod, bSV, bEV, wi, cand, L, sig, gap_drop,
                 out = _score_device_compact(
                     raw, cband, IR, Bprod, bSV, bEV, cand, gap_drop, sig,
                     wi=int(wi), L=int(L), chunked=chunked, o_cap=o_cap,
-                    keep_cap=cap)
+                    keep_cap=cap, hist_backend=hist_backend)
             cnt, d_idx, x_idx, Ov, ICEv, Foldv, pv, qv = \
                 _fetch(out[:8])             # one bundled host transfer
             n = int(cnt)
@@ -679,11 +697,12 @@ def hiccups_chrom(bands: ChromBands, cfg: HiccupsConfig, mesh=None,
         max_count = float(bands.raw.max())
 
     pairs = list(zip(pw, ww))
+    hist_backend = _hist_plan(mesh, scan_backend)
     multi = None
     if not check and len(pairs) > 1:
         multi = _score_all_pairs(raw, cband, IR, Bprod, outs, pairs, cand,
                                  L, cfg.siglevel, gap_drop, bh_backend,
-                                 max_count)
+                                 max_count, hist_backend=hist_backend)
 
     pixel_table = {}
     for pair_idx, (pi, wi) in enumerate(pairs):
@@ -697,25 +716,26 @@ def hiccups_chrom(bands: ChromBands, cfg: HiccupsConfig, mesh=None,
                 pair = _score_pair(
                     raw, cband, IR, Bprod, KS, KE, YS, YE, wi, cand,
                     L, cfg.siglevel, gap_drop, bh_backend=bh_backend,
-                    max_count=max_count, caps=(_KEEP_CAP,))
+                    max_count=max_count, caps=(_KEEP_CAP,),
+                    hist_backend=hist_backend)
         elif check:
             pair = None
         else:
             pair = _score_pair(
                 raw, cband, IR, Bprod, KS, KE, YS, YE, wi, cand,
                 L, cfg.siglevel, gap_drop, bh_backend=bh_backend,
-                max_count=max_count)
+                max_count=max_count, hist_backend=hist_backend)
         if pair is not None:
             rK, rY = pair
         else:
             rK = _score_one(raw, cband, IR, Bprod, KS, KE, wi, cand, L,
                             cfg.siglevel, gap_drop, chunked=True,
                             bh_backend=bh_backend, max_count=max_count,
-                            check=check)
+                            check=check, hist_backend=hist_backend)
             rY = _score_one(raw, cband, IR, Bprod, YS, YE, wi, cand, L,
                             cfg.siglevel, gap_drop, chunked=True,
                             bh_backend=bh_backend, max_count=max_count,
-                            check=check)
+                            check=check, hist_backend=hist_backend)
 
         first = rK['O'] if cfg.use_raw else rK['ICE']
         preDonuts = {(int(x), int(y)): (fi, o, f, p, q)

@@ -247,18 +247,41 @@ def compact_mask(keep, cap):
 
     Avoids ``jnp.nonzero`` whose lowering — a flat 1-D cumsum plus a
     duplicate-index scatter bincount — has size-dependent compile cost and
-    stalls the tunneled TPU runtime (hardware-probed).  This form (a
-    two-level reshaped cumsum + vectorized binary search) compiles in
-    seconds and returned bit-exact indices in the same probe.
+    stalls the tunneled TPU runtime (hardware-probed).  This form keeps
+    the two-level reshaped cumsum but replaces the flat [cap, n] binary
+    search with a hierarchical one: binary-search the per-block tails to
+    find each target's block, gather those blocks ([cap, block] rows),
+    and count entries below the target inside them.  Hardware-probed
+    bit-exact against the flat search at 2.26 ms vs 4.2 ms in-program
+    (TPU v5e, 1.77M-pixel sheet, cap 8192).
 
     Returns (true_count, row_idx, col_idx); entries past ``true_count``
     point at the last cell and must be sliced off by the caller.
     """
+    # Hardware-probed miscompile guard (TPU v5e, jax 0.8.x): when the
+    # producer of ``keep`` is a large fused broadcast-reduce (the
+    # chunk_bh_keep threshold sum), XLA rematerializes it inside the
+    # cumsum's fusion with DIFFERENT (wrong) values — jnp.sum(keep) said
+    # 61 while csum[-1] said 39948 in the same program.  The barrier
+    # forces one materialization of ``keep`` so every consumer sees the
+    # same bits.  Cost: one [R, C] bool buffer round-trip (~2MB at bench
+    # scale, invisible next to the searches).
+    keep = jax.lax.optimization_barrier(keep)
     R, C = keep.shape
+    n = R * C
     csum = _cumsum_2l(keep.reshape(-1).astype(jnp.int32))
     cnt = csum[-1]
+    # block width: the inner count costs cap*block compares + a
+    # [cap, block] row gather, so shrink blocks for the large retry caps
+    W = 512 if cap <= (1 << 14) else 128
+    nb = -(-n // W)
+    cs_b = jnp.pad(csum, (0, nb * W - n),
+                   constant_values=csum[-1]).reshape(nb, W)
     targets = jnp.arange(1, cap + 1, dtype=jnp.int32)
-    pos = jnp.minimum(jnp.searchsorted(csum, targets, side='left'), R * C - 1)
+    b = jnp.minimum(jnp.searchsorted(cs_b[:, -1], targets, side='left'),
+                    nb - 1)
+    inner = jnp.sum(cs_b[b] < targets[:, None], axis=1)
+    pos = jnp.minimum(b * W + inner, n - 1)
     return cnt, (pos // C).astype(jnp.int32), (pos % C).astype(jnp.int32)
 
 
@@ -298,7 +321,8 @@ def segmented_bh(pvals, seg, valid):
     return out.reshape(shape)
 
 
-def chunk_bh_histogram(O, cid, valid, n_chunks=128, o_cap=32768):
+def chunk_bh_histogram(O, cid, valid, n_chunks=128, o_cap=32768,
+                       hist_backend='jnp'):
     """Sort-free Benjamini-Hochberg for the lambda-chunked path — the
     north-star 'on-device lambda-chunk histogramming'.
 
@@ -322,7 +346,7 @@ def chunk_bh_histogram(O, cid, valid, n_chunks=128, o_cap=32768):
     shape = O.shape
     S, C = n_chunks, o_cap + 1
     Oc_p, cid_p, n = _chunk_pack(O, cid, valid, S, C)
-    qtab = _chunk_qtab(Oc_p, cid_p, S, C, O.dtype)
+    qtab = _chunk_qtab(Oc_p, cid_p, S, C, O.dtype, hist_backend)
     s_iota = jnp.arange(S, dtype=jnp.int32)
     c_iota = jnp.arange(C, dtype=jnp.int32)
 
@@ -346,25 +370,29 @@ def chunk_bh_histogram(O, cid, valid, n_chunks=128, o_cap=32768):
     return q.reshape(shape).astype(O.dtype)
 
 
-def chunk_bh_keep(O, E, cid, valid, sig, n_chunks=128, o_cap=32768):
+def chunk_bh_keep(O, cid, valid, sig, n_chunks=128, o_cap=32768,
+                  hist_backend='jnp'):
     """``(chunk_bh_histogram(...) <= sig)`` without the per-pixel q lookup.
 
     ``qtab`` is a cummin over ascending integer counts, so within a chunk
     q is nonincreasing in the count and ``q <= sig`` is equivalent to
     ``count >= thr[chunk]`` where ``thr[s]`` counts the leading qtab
-    entries above ``sig``.  The per-pixel ``thr[cid]`` in turn is a step
-    function of E: a *valid* pixel's (possibly nudged) chunk id is exactly
-    1 + #{edges 2^((s-1)/3) strictly below E} — validity means E lies
-    strictly inside the final chunk's open interval, and the edge powers
-    here are computed by the same int->f32 divide + ``jnp.power`` as
-    :func:`lambda_chunks`' rv/lv, so every comparison reproduces the
-    dense path's membership bit-for-bit.  The whole decision then fuses
-    into one broadcast-compare reduce over the sheet — the
-    [pixels, o_cap] f32 selection matmul of the dense lookup (the single
-    most expensive term of the scoring program at genome scale:
-    S*pixels*o_cap f32 MACs) is deferred to the compacted keep set via
-    the returned table.  All arithmetic is exact: thr and its deltas are
-    integers < 2^24, so any f32 summation order yields the same value.
+    entries above ``sig``.  ``thr[cid]`` is served as a broadcast
+    telescoping sum over integer comparisons,
+    ``thr[1] + sum_s (thr[s+1]-thr[s]) * [cid > s]`` — no per-pixel
+    gather (large gathers lower pathologically on tunneled TPU runtimes)
+    and exact on every backend.  (An earlier form reconstructed the
+    comparison in E-space from the chunk-edge powers; hardware probing
+    showed ``jnp.power(2, k/3)`` is not bit-stable across XLA programs
+    on TPU, so pixels within an ulp of an edge could read the wrong
+    chunk's threshold.  Comparing the already-decided ``cid`` makes the
+    collapse a theorem again.)  The whole decision fuses into one
+    broadcast-compare reduce over the sheet — the [pixels, o_cap] f32
+    selection matmul of the dense lookup (the single most expensive term
+    of the scoring program at genome scale: S*pixels*o_cap f32 MACs) is
+    deferred to the compacted keep set via the returned table.  All
+    arithmetic is exact: thr and its deltas are integers < 2^24, so any
+    f32 summation order yields the same value.
 
     Returns (keep mask, qtab [n_chunks, o_cap+1]); look up exact q-values
     for compacted pixels as ``qtab[cid, floor(O)]`` (invalid pixels carry
@@ -372,16 +400,14 @@ def chunk_bh_keep(O, E, cid, valid, sig, n_chunks=128, o_cap=32768):
     """
     S, C = n_chunks, o_cap + 1
     Oc_p, cid_p, _n = _chunk_pack(O, cid, valid, S, C)
-    qtab = _chunk_qtab(Oc_p, cid_p, S, C, O.dtype)
+    qtab = _chunk_qtab(Oc_p, cid_p, S, C, O.dtype, hist_backend)
     # first count index with q <= sig, per chunk (C if none)
     thr = (qtab > sig).astype(O.dtype).sum(axis=1)
-    # thr[cid] = thr[1] + sum_s (thr[s+1]-thr[s]) * [E > 2^((s-1)/3)],
     # s = 1..S-2 (the upper clamp matches _chunk_pack's cid clip at S-1)
-    s = jnp.arange(1, S - 1, dtype=O.dtype)
-    edges = jnp.power(2.0, (s - 1.0) / 3.0).astype(O.dtype)
+    s = jnp.arange(1, S - 1, dtype=jnp.int32)
     deltas = (thr[2:] - thr[1:-1])
-    safeE = jnp.where(valid, E, 1.0)
-    th = thr[1] + ((safeE[..., None] > edges) * deltas).sum(-1)
+    cidc = jnp.clip(cid, 1, S - 1)
+    th = thr[1] + ((cidc[..., None] > s) * deltas).sum(-1)
     keep = valid & (jnp.clip(jnp.floor(O), 0, C - 1) >= th)
     # invalid pixels carry q = 1.0, admitted by the mask only when sig >= 1
     keep = keep | (~valid & (jnp.asarray(sig, O.dtype) >= 1.0))
@@ -406,33 +432,44 @@ def _chunk_pack(O, cid, valid, S, C):
             jnp.pad(cidc, (0, pad)).reshape(-1, CH), n)
 
 
-def _chunk_qtab(Oc_p, cid_p, S, C, dtype):
+def _chunk_qtab(Oc_p, cid_p, S, C, dtype, hist_backend='jnp'):
     """The (chunk, count) BH q table shared by the dense-lookup and
     threshold-mask front ends.
 
     Row 0 is a trash row: invalid pixels are folded there by
     :func:`_chunk_pack`, so its m/rank/q entries are garbage-but-finite
-    and no valid pixel ever reads them."""
+    and no valid pixel ever reads them.
 
-    # Histogram as one-hot matmuls over pixel chunks (MXU work):
-    # scatter-add with duplicate indices and large gathers both lower
-    # pathologically on TPU; 0/1 one-hot arithmetic in bf16 with f32
-    # accumulation is bit-exact per step (CH <= 32768 < 2^24), and the
-    # running total is carried in int32 so no bucket ever saturates a f32
-    # mantissa however many pixels land in it (ADVICE r1).
-    s_iota = jnp.arange(S, dtype=jnp.int32)
-    c_iota = jnp.arange(C, dtype=jnp.int32)
+    ``hist_backend``: 'jnp' (the scan below — required under a mesh,
+    where GSPMD cannot partition a pallas_call), 'pallas' (fused VMEM
+    one-hot kernel, bit-exact, ~4x less HBM traffic on TPU), or
+    'pallas-interpret' (the kernel under the interpreter, for CPU
+    tests)."""
 
-    def hist_step(acc, xs):
-        oc, cc = xs
-        oh_s = (cc[:, None] == s_iota[None, :]).astype(jnp.bfloat16)
-        oh_o = (oc[:, None] == c_iota[None, :]).astype(jnp.bfloat16)
-        step = jnp.dot(oh_s.T, oh_o, preferred_element_type=jnp.float32)
-        acc = acc + step.astype(jnp.int32)
-        return acc, None
+    if hist_backend in ('pallas', 'pallas-interpret'):
+        from .pallas_hist import chunk_hist_pallas
+        hist2 = chunk_hist_pallas(Oc_p, cid_p, S, C,
+                                  interpret=hist_backend != 'pallas')
+    else:
+        # Histogram as one-hot matmuls over pixel chunks (MXU work):
+        # scatter-add with duplicate indices and large gathers both lower
+        # pathologically on TPU; 0/1 one-hot arithmetic in bf16 with f32
+        # accumulation is bit-exact per step (CH <= 32768 < 2^24), and the
+        # running total is carried in int32 so no bucket ever saturates a
+        # f32 mantissa however many pixels land in it (ADVICE r1).
+        s_iota = jnp.arange(S, dtype=jnp.int32)
+        c_iota = jnp.arange(C, dtype=jnp.int32)
 
-    hist2, _ = jax.lax.scan(hist_step, jnp.zeros((S, C), jnp.int32),
-                            (Oc_p, cid_p))
+        def hist_step(acc, xs):
+            oc, cc = xs
+            oh_s = (cc[:, None] == s_iota[None, :]).astype(jnp.bfloat16)
+            oh_o = (oc[:, None] == c_iota[None, :]).astype(jnp.bfloat16)
+            step = jnp.dot(oh_s.T, oh_o, preferred_element_type=jnp.float32)
+            acc = acc + step.astype(jnp.int32)
+            return acc, None
+
+        hist2, _ = jax.lax.scan(hist_step, jnp.zeros((S, C), jnp.int32),
+                                (Oc_p, cid_p))
 
     m = hist2.sum(axis=1, keepdims=True).astype(dtype)
     # rank_max(s, O): pixels with count >= O  (descending-O cumulative)

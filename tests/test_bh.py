@@ -135,7 +135,7 @@ def test_chunk_bh_keep_matches_dense_threshold(sig):
 
     q_dense = np.asarray(chunk_bh_histogram(
         jnp.asarray(O), jnp.asarray(cid), jnp.asarray(valid), o_cap=256))
-    keep, qtab = chunk_bh_keep(jnp.asarray(O), jnp.asarray(E),
+    keep, qtab = chunk_bh_keep(jnp.asarray(O),
                                jnp.asarray(cid), jnp.asarray(valid),
                                jnp.float32(sig), o_cap=256)
     np.testing.assert_array_equal(np.asarray(keep), q_dense <= sig)
@@ -188,3 +188,31 @@ def test_fixpoint_global_bh_matches_reference(seed, sig):
     qmap = np.full(n, np.nan)
     qmap[valid] = want_q
     np.testing.assert_allclose(q[fin], qmap[idx[fin]], rtol=0, atol=0)
+
+
+@pytest.mark.parametrize('shape,cap,density,seed', [
+    ((7, 130), 16, 0.3, 0),        # n not a multiple of the block width
+    ((64, 512), 64, 0.001, 1),     # sparse, count < cap
+    ((64, 512), 64, 0.5, 2),       # overflow: count >> cap
+    ((3, 41), 8, 0.0, 3),          # empty mask
+    ((200, 600), 1 << 15, 0.01, 4),  # large-cap tier (block = 128)
+])
+def test_compact_mask_matches_nonzero(shape, cap, density, seed):
+    """compact_mask's hierarchical block search must return exactly the
+    first ``cap`` row-major True positions (np.nonzero order), the true
+    count, and last-cell padding past the count / on overflow."""
+    from hicpeaks_tpu.ops.score import compact_mask
+
+    rng = np.random.default_rng(seed)
+    keep = rng.random(shape) < density
+    cnt, d_idx, x_idx = (np.asarray(a) for a in
+                         compact_mask(jnp.asarray(keep), cap))
+    R, C = shape
+    rr, cc = np.nonzero(keep)
+    assert int(cnt) == len(rr)
+    k = min(len(rr), cap)
+    np.testing.assert_array_equal(d_idx[:k], rr[:k])
+    np.testing.assert_array_equal(x_idx[:k], cc[:k])
+    # past-count entries point at the last cell
+    np.testing.assert_array_equal(d_idx[k:], np.full(cap - k, R - 1))
+    np.testing.assert_array_equal(x_idx[k:], np.full(cap - k, C - 1))
