@@ -172,7 +172,8 @@ def main():
             out = engine_mod._compact_one(
                 raw_i, cband, IR, Bprod, bSV, bEV, cand, gap_drop,
                 jnp.float32(0.05), ww[0], bands.L, True, o_cap,
-                engine_mod._KEEP_CAP_FAST)
+                engine_mod._KEEP_CAP_FAST,
+                engine_mod._hist_plan(None, backend))
             n_keep = n_keep + out[0]
             acc = acc + out[7].sum().astype(jnp.float32) \
                 + out[6].sum().astype(jnp.float32)

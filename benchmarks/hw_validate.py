@@ -22,7 +22,8 @@ import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
-OUT_PATH = os.path.join(REPO, 'benchmarks', 'HW_VALIDATE_r02.json')
+OUT_PATH = os.path.join(REPO, 'benchmarks',
+                        os.environ.get('HV_OUT', 'HW_VALIDATE_r02.json'))
 
 
 def log(msg):
@@ -60,9 +61,12 @@ def main():
     dev = jax.devices()[0]
     log(f'device: {dev} ({jax.default_backend()})')
 
+    L = int(os.environ.get('HV_L', 2048))
     with tempfile.TemporaryDirectory() as td:
-        uri, _ = synthetic_cooler(os.path.join(td, 'hw.cool'), n_bins=2048,
-                                  res=10000, seed=23, n_loops=60, depth=60.0)
+        uri, _ = synthetic_cooler(os.path.join(td, 'hw.cool'), n_bins=L,
+                                  res=10000, seed=23,
+                                  n_loops=max(60, L // 34),
+                                  depth=60.0)
         clr = CoolerLite(uri)
         cfg = HiccupsConfig(pw=(1, 2), ww=(3, 5), maxww=10, siglevel=0.05,
                             sumq=0.01, maxapart=2000000,
@@ -135,7 +139,7 @@ def main():
     result = {
         'backend': jax.default_backend(),
         'device': str(dev),
-        'config': {'L': 2048, 'res': 10000, 'pw': [1, 2], 'ww': [3, 5],
+        'config': {'L': L, 'res': 10000, 'pw': [1, 2], 'ww': [3, 5],
                    'maxww': 10, 'maxapart': 2000000},
         'pallas_vs_jnp': 'PASS (allclose rtol=1e-5 on all capture tensors, '
                          'both (pw,ww) pairs, asserted in validate mode)',

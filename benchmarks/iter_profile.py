@@ -101,12 +101,13 @@ def main():
     KS, KE, YS, YE = outs[pw[0]]
     jax.block_until_ready(KS)
 
+    hist_backend = engine_mod._hist_plan(None, 'auto')
     compact = jax.jit(lambda bSV, bEV: engine_mod._compact_one(
         raw, cband, IR, Bprod, bSV, bEV, cand, gap_drop,
         jnp.float32(0.05), ww[0], bands.L, True, o_cap,
-        engine_mod._KEEP_CAP_FAST))
+        engine_mod._KEEP_CAP_FAST, hist_backend))
     t_compact = timeit(lambda: compact(KS, KE), iters)
-    log(f'compact scorer (1 bg): {t_compact*1e3:.2f} ms')
+    log(f'compact scorer (1 bg, hist={hist_backend}): {t_compact*1e3:.2f} ms')
 
     total = t_sheets + t_pass_a + t_pass_b + 2 * t_compact
     n_cand = bands.candidate_total(min(ww), maxapart // res)
