@@ -18,26 +18,57 @@ from .clustering import local_clustering
 from .config import BHFDRConfig, HiccupsConfig
 
 
-def _compact_slab(bands: ChromBands):
-    """The raw slab in its cheapest lossless transfer encoding: uint16
-    when every count round-trips (integer Hi-C counts < 65536 — half the
-    bytes of float32), else the float slab itself."""
+def _compact_slab(bands: ChromBands, split=True):
+    """The raw slab in its cheapest lossless transfer encoding.
+
+    * uint16 when every count round-trips (integer Hi-C counts < 65536 —
+      half the bytes of float32), else the float slab itself;
+    * additionally, Hi-C counts fall off steeply with genomic distance,
+      so most diagonal rows of a deep band never reach 256: those tail
+      rows ship as uint8 — a (uint16 head, uint8 tail) pair split at a
+      64-row-bucketed boundary (bounding the compile count), nearly
+      halving the transfer again at genome scale, where the slab is the
+      steady per-chromosome cost floor (benchmarks/STAGE_PROFILE_r02).
+
+    ``split=False`` (mesh / sharded callers, which need one contiguous
+    array to scatter) returns the single-array u16/float form."""
     raw_host = bands.raw
-    if raw_host.dtype.kind == 'f':
-        compact = getattr(bands, '_raw_u16', None)
-        if compact is None:
-            compact = False
-            if raw_host.size and 0.0 <= float(raw_host.max()) < 65536.0:
-                candidate = raw_host.astype(np.uint16)
-                # round-trip equality rejects non-integral and negative
-                # counts (both wrap/truncate), so u16 transfer is lossless
-                if np.array_equal(candidate.astype(raw_host.dtype),
-                                  raw_host):
-                    compact = candidate
-            bands._raw_u16 = compact
-        if compact is not False:
-            raw_host = compact
-    return raw_host
+    if raw_host.dtype.kind != 'f':
+        return raw_host
+    enc = getattr(bands, '_raw_u16', None)
+    if enc is None:
+        enc = False
+        if raw_host.size and 0.0 <= float(raw_host.max()) < 65536.0:
+            candidate = raw_host.astype(np.uint16)
+            # round-trip equality rejects non-integral and negative
+            # counts (both wrap/truncate), so u16 transfer is lossless
+            if np.array_equal(candidate.astype(raw_host.dtype), raw_host):
+                enc = candidate
+                big = np.nonzero(candidate.max(axis=1) > 255)[0]
+                d0 = int(big[-1]) + 1 if big.size else 0
+                d0 = min(-(-d0 // 64) * 64, candidate.shape[0])
+                if d0 == 0:
+                    enc = candidate.astype(np.uint8)
+                elif d0 < candidate.shape[0]:
+                    enc = (np.ascontiguousarray(candidate[:d0]),
+                           candidate[d0:].astype(np.uint8))
+        bands._raw_u16 = enc
+    if enc is False:
+        return raw_host
+    if not split and isinstance(enc, tuple):
+        full = getattr(bands, '_raw_u16_full', None)
+        if full is None:
+            full = raw_host.astype(np.uint16)
+            bands._raw_u16_full = full
+        return full
+    return enc
+
+
+def _to_device_slab(enc):
+    """Host slab encoding -> device array(s) (tuple = split-row form)."""
+    if isinstance(enc, tuple):
+        return tuple(jnp.asarray(a) for a in enc)
+    return jnp.asarray(enc)
 
 
 def stage_chrom_arrays(bands: ChromBands):
@@ -49,7 +80,7 @@ def stage_chrom_arrays(bands: ChromBands):
     compute.  JAX transfers are async and thread-safe; the consumer picks
     the arrays up via ``bands._staged`` (single-device path only — mesh
     runs re-shard from host)."""
-    bands._staged = dict(raw=jnp.asarray(_compact_slab(bands)),
+    bands._staged = dict(raw=_to_device_slab(_compact_slab(bands)),
                          w0=jnp.asarray(bands.w0),
                          bias=jnp.asarray(bands.bias),
                          IR=jnp.asarray(bands.IR),
@@ -98,7 +129,7 @@ def _prep_chrom(bands: ChromBands, d_lo, d_hi, gap_s, mesh=None,
             shard_band(a, mesh)
             for a in (raw, cband, eband, Bprod, gap_drop, cand))
         return raw, cband, eband, IR, Bprod, gap_drop, cand
-    raw_host = _compact_slab(bands)
+    raw_host = _compact_slab(bands, split=mesh is None)
     if mesh is not None and ir_backend == 'device':
         # psum'd diagonal means from the sharded slab (parallel/tiles.
         # ir_sharded) — no controller reduction, the multi-host band-
@@ -118,7 +149,7 @@ def _prep_chrom(bands: ChromBands, d_lo, d_hi, gap_s, mesh=None,
         raw_sh = None
         IR = jnp.asarray(bands.IR)
     raw, cband, eband, Bprod, gap_drop, cand = score_ops.build_sheets_device(
-        jnp.asarray(raw_host) if raw_sh is None else raw_sh,
+        _to_device_slab(raw_host) if raw_sh is None else raw_sh,
         jnp.asarray(bands.w0), jnp.asarray(bands.bias), IR,
         jnp.asarray(bands.gap), bands.ww_min, bands.L, d_lo, d_hi, gap_s)
     if mesh is not None:

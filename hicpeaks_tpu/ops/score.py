@@ -73,10 +73,15 @@ def build_sheets_device(raw, w0, bias, IR, gap, ww_min, L, d_lo, d_hi,
     * gap_drop   = gap_reject_device(gap, ...) (gap_reject_host twin)
     * cand[d,x]  = raw != 0 within d_lo <= d <= d_hi (engine._candidates)
 
-    ``raw`` may arrive as uint16 (integer Hi-C counts < 65536 — the engine
-    halves the slab transfer that way); the float32 slab every downstream
-    kernel consumes is rebuilt on device and returned first.
+    ``raw`` may arrive as uint16 or uint8 (integer Hi-C counts — the
+    engine halves or quarters the slab transfer that way), or as a
+    (uint16 head rows, uint8 tail rows) pair exploiting the steep
+    count decay with genomic distance (engine._compact_slab); the float32
+    slab every downstream kernel consumes is rebuilt on device and
+    returned first.
     """
+    if isinstance(raw, (tuple, list)):
+        raw = tuple(raw)
     return _build_sheets_jit(raw, w0, bias, IR, gap, ww_min=int(ww_min),
                              L=int(L), d_lo=int(d_lo), d_hi=int(d_hi),
                              gap_s=int(gap_s))
@@ -86,6 +91,10 @@ def build_sheets_device(raw, w0, bias, IR, gap, ww_min, L, d_lo, d_hi,
                                              'd_hi', 'gap_s'))
 def _build_sheets_jit(raw, w0, bias, IR, gap, ww_min, L, d_lo, d_hi,
                       gap_s):
+    if isinstance(raw, tuple):
+        # split-row transfer encoding: concatenate back to one slab on
+        # device (the cast + concat fuses into the consumers)
+        raw = jnp.concatenate([r.astype(jnp.float32) for r in raw], axis=0)
     num_p, Lp = raw.shape
     drow = jnp.arange(num_p)[:, None]
     col = jnp.arange(Lp)[None, :]

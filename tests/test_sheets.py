@@ -138,17 +138,18 @@ def test_gap_reject_device_edges(L, s):
 
 
 def test_u16_slab_transfer_decision_and_parity():
-    """engine._prep_chrom ships integer count slabs < 65536 as uint16 and
-    rebuilds float32 on device; the decision must be lossless-only."""
+    """engine._prep_chrom ships integer count slabs < 65536 compactly
+    (uint16 / uint8 / a split-row pair) and rebuilds float32 on device;
+    the decision must be lossless-only."""
     from hicpeaks_tpu.core import engine
 
     bands, _ = _random_chrom(4)
     assert bands.raw.dtype.kind == 'f'
     out_f = [np.asarray(a) for a in
              engine._prep_chrom(bands, bands.ww_min, 50, bands.ww_min)]
-    # counts are integral < 65536 -> the compact slab must have been chosen
+    # counts are integral < 256 everywhere -> the pure-uint8 form
     assert getattr(bands, '_raw_u16') is not False
-    assert bands._raw_u16.dtype == np.uint16
+    assert bands._raw_u16.dtype == np.uint8
     # device raw is float32 regardless of transfer dtype
     assert out_f[0].dtype == np.float32
     np.testing.assert_array_equal(out_f[0][:, :bands.raw.shape[1]],
@@ -165,3 +166,42 @@ def test_u16_slab_transfer_decision_and_parity():
     bands3.raw[bands3.raw > 0] += 70000.0
     engine._prep_chrom(bands3, bands3.ww_min, 50, bands3.ww_min)
     assert bands3._raw_u16 is False
+
+
+def test_split_row_slab_transfer_parity():
+    """Counts >= 256 on the near diagonals select the (uint16 head,
+    uint8 tail) split form; the device rebuild and the mesh-facing
+    contiguous form must both reproduce the float32 slab exactly."""
+    from hicpeaks_tpu.core import engine
+
+    bands, _ = _random_chrom(7, num=200)
+    # hot near-diagonal rows, quiet tail — the genome-scale count shape
+    bands.raw[:3][bands.raw[:3] > 0] += 500.0
+    enc = engine._compact_slab(bands)
+    assert isinstance(enc, tuple)
+    head, tail = enc
+    assert head.dtype == np.uint16 and tail.dtype == np.uint8
+    assert head.shape[0] == 64          # 64-row bucketed boundary
+    assert head.shape[0] + tail.shape[0] == bands.raw.shape[0]
+    rebuilt = np.concatenate([head.astype(np.float32),
+                              tail.astype(np.float32)], axis=0)
+    np.testing.assert_array_equal(rebuilt, bands.raw.astype(np.float32))
+
+    # the mesh path needs one contiguous array (split=False)
+    full = engine._compact_slab(bands, split=False)
+    assert full.dtype == np.uint16
+    np.testing.assert_array_equal(full.astype(np.float32),
+                                  bands.raw.astype(np.float32))
+
+    # end-to-end through the sheet builder
+    out_f = [np.asarray(a) for a in
+             engine._prep_chrom(bands, bands.ww_min, 50, bands.ww_min)]
+    np.testing.assert_array_equal(out_f[0][:, :bands.raw.shape[1]],
+                                  bands.raw.astype(np.float32))
+
+    # staged (prefetch-thread) form carries the split tuple
+    engine.stage_chrom_arrays(bands)
+    assert isinstance(bands._staged['raw'], tuple)
+    out_s = [np.asarray(a) for a in
+             engine._prep_chrom(bands, bands.ww_min, 50, bands.ww_min)]
+    np.testing.assert_array_equal(out_s[0], out_f[0])
