@@ -109,7 +109,7 @@ def main():
 
         bands = stage('band_build_host', lambda: build_bands(
             b1, b2, ct, w, L, num, min(ww), res,
-            dtype=np.float32, lane_pad=4096))
+            dtype=np.float32, lane_pad=4096, keep_sparse=False))
         raw, cband, eband, IR, Bprod, gap_drop, cand = stage(
             'to_device_sheets', lambda: engine._prep_chrom(
                 bands, min(ww), maxapart // res, min(ww)))
@@ -128,7 +128,9 @@ def main():
             raw, cband, eband, cand, allowed, plan, p_list,
             cfg.min_local_reads, None, backend))
 
-        max_count = float(bands.raw.max())
+        max_count = bands.max_count
+        if max_count is None:
+            max_count = float(bands.raw.max())
 
         KS, KE, YS, YE = outs[pw[0]]
         pair = stage('score_pair', lambda: engine._score_pair(

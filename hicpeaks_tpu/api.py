@@ -126,7 +126,11 @@ def _run(kind, cooler_uri, cfg, chroms, mesh, scan_backend, checkpoint_dir,
                 bands = bands_from_cooler(clr, key, cfg.maxapart, cfg.maxww,
                                           ww_min, dtype=dtype,
                                           weight_name=cfg.clr_weight_name,
-                                          lane_pad=shape_bucket)
+                                          lane_pad=shape_bucket,
+                                          # the engine reads cand_hist/
+                                          # max_count; the COO copies are
+                                          # ~300MB/chrom at genome scale
+                                          keep_sparse=False)
             except BaseException as exc:   # re-raised on the consumer side
                 band_q.put((key, None, time.perf_counter() - t0, exc))
                 return

@@ -44,7 +44,9 @@ class ChromBands:
 
     def __init__(self, raw, IR, bias, w0, gap, L, num, res, chrom='',
                  ww_min=0, sparse=None, cband=None, nanw=None,
-                 cand_hist=None):
+                 cand_hist=None, max_count=None):
+        self.max_count = max_count  # max raw count (engine o_cap planning;
+                                    # None -> engine reads raw.max())
         self.cand_hist = cand_hist  # [num_p] GLOBAL nonzero-pixel counts
                                     # per diagonal (multi-host sharded
                                     # ingestion reduces it across hosts;
@@ -68,6 +70,11 @@ class ChromBands:
     @property
     def cband(self):
         if self._cband is None:
+            if self._sparse is None:
+                raise AttributeError(
+                    'cband needs the COO arrays; build with '
+                    'keep_sparse=True (the production engine path drops '
+                    'them — it derives the balanced band on device)')
             dd, b1, cvals, _ = self._sparse
             cb = np.zeros(self.raw.shape, np.float64)
             cb[dd, b1] = cvals
@@ -96,7 +103,8 @@ class ChromBands:
 
 
 def build_bands(bin1, bin2, count, weights, L, num, ww_min, res, chrom='',
-                dtype=np.float32, lane_pad=128, sublane_pad=8) -> ChromBands:
+                dtype=np.float32, lane_pad=128, sublane_pad=8,
+                keep_sparse=True) -> ChromBands:
     """Scatter upper-triangle pixels into a zero-padded raw band tensor
     and derive the per-diagonal/per-bin vectors from the sparse arrays.
 
@@ -113,9 +121,9 @@ def build_bands(bin1, bin2, count, weights, L, num, ww_min, res, chrom='',
     if dtype == np.float32 or np.dtype(dtype) == np.float32:
         from .bandnative import band_build_native
         native = band_build_native(bin1, bin2, count, w, L, num, num_p, Lp,
-                                   ww_min)
+                                   ww_min, keep_sparse=keep_sparse)
     if native is not None:
-        raw, csum, nan_counts, colsum, dd, b1, cvals, ct = native
+        raw, csum, nan_counts, colsum, sparse, cand_hist, max_count = native
     else:
         d = (bin2 - bin1).astype(np.int64)
         sel = (d >= 0) & (d < num) & (bin1 >= 0) & (bin2 < L)
@@ -135,6 +143,9 @@ def build_bands(bin1, bin2, count, weights, L, num, ww_min, res, chrom='',
         in_rows = dd >= ww_min
         colsum = np.bincount(b1[in_rows], weights=cvals[in_rows],
                              minlength=Lp)[:Lp]
+        cand_hist = np.bincount(dd[ct != 0], minlength=num_p)[:num_p]
+        max_count = float(ct.max()) if ct.size else 0.0
+        sparse = (dd, b1, cvals, ct) if keep_sparse else None
 
     diag_len = np.maximum(L - np.arange(num_p), 0)
     denom = diag_len - nan_counts
@@ -158,12 +169,14 @@ def build_bands(bin1, bin2, count, weights, L, num, ww_min, res, chrom='',
 
     return ChromBands(raw=raw, IR=IR.astype(dtype), bias=bias.astype(dtype),
                       w0=w0.astype(dtype), gap=gap, L=L, num=num, res=res,
-                      chrom=chrom, ww_min=ww_min, sparse=(dd, b1, cvals, ct),
-                      nanw=nanw)
+                      chrom=chrom, ww_min=ww_min, sparse=sparse,
+                      nanw=nanw, cand_hist=np.asarray(cand_hist),
+                      max_count=max_count)
 
 
 def bands_from_cooler(clr, chrom, maxapart, maxww, ww_min, dtype=np.float32,
-                      weight_name='weight', lane_pad=128) -> ChromBands:
+                      weight_name='weight', lane_pad=128,
+                      keep_sparse=True) -> ChromBands:
     """One-stop chromosome loader mirroring the reference worker's prep
     (scripts/pyHICCUPS:139-168): num = maxapart//res + maxww + 1.
     ``lane_pad`` buckets the padded width (e.g. 4096) so chromosomes of
@@ -176,4 +189,4 @@ def bands_from_cooler(clr, chrom, maxapart, maxww, ww_min, dtype=np.float32,
     w = clr.weights(chrom, weight_name)
     return build_bands(b1, b2, ct, w, L, num, ww_min, res,
                        chrom=chrom.lstrip('chr'), dtype=dtype,
-                       lane_pad=lane_pad)
+                       lane_pad=lane_pad, keep_sparse=keep_sparse)

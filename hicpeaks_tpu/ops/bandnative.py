@@ -2,8 +2,11 @@
 
 One threaded C++ pass replaces the numpy fancy-index copies + bincounts
 of ops/band.build_bands at genome scale (the dominant host cost in
-benchmarks/STAGE_PROFILE_r02.json).  Falls back to None (numpy path) when
-the shared library is missing and cannot be built.
+benchmarks/STAGE_PROFILE_r02.json).  ``band_build2`` scatters through a
+transposed staging buffer (cache-friendly for the cooler's b1-sorted
+pixel stream) and can skip the COO output copies entirely for the
+production path.  Falls back to None (numpy path) when the shared
+library is missing and cannot be built.
 """
 from __future__ import annotations
 
@@ -23,39 +26,55 @@ _f64p = ctypes.POINTER(ctypes.c_double)
 _f32p = ctypes.POINTER(ctypes.c_float)
 
 
+def _register(lib):
+    lib.band_build2.restype = ctypes.c_int64
+    lib.band_build2.argtypes = [
+        _i64p, _i64p, _f64p, ctypes.c_int64,    # bin1, bin2, count, n
+        _f64p,                                  # weights
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,  # L, num, num_p
+        ctypes.c_int64, ctypes.c_int64,         # Lp, ww_min
+        _f32p, _f32p,                           # raw, staging
+        _f64p, _i64p, _f64p,                    # csum, nan, colsum
+        _i64p, _f64p,                           # cand_hist, out_max
+        _i64p, _i64p, _f64p, _f64p,             # dd, b1, cvals, ct (nullable)
+    ]
+    return lib
+
+
 def _load_library():
     global _LIB, _TRIED
     if _TRIED:
         return _LIB
     _TRIED = True
     so = os.path.join(_NATIVE_DIR, 'libbandbuild.so')
-    if not os.path.exists(so):
+    for attempt in range(2):
+        if not os.path.exists(so) or attempt:
+            try:
+                subprocess.run(['make', '-C', _NATIVE_DIR, '-B',
+                                'libbandbuild.so'],
+                               check=True, capture_output=True)
+            except Exception:
+                return None
         try:
-            subprocess.run(['make', '-C', _NATIVE_DIR, 'libbandbuild.so'],
-                           check=True, capture_output=True)
-        except Exception:
-            return None
-    try:
-        lib = ctypes.CDLL(so)
-        lib.band_build.restype = ctypes.c_int64
-        lib.band_build.argtypes = [
-            _i64p, _i64p, _f64p, ctypes.c_int64,    # bin1, bin2, count, n
-            _f64p,                                  # weights
-            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,  # L, num, num_p
-            ctypes.c_int64, ctypes.c_int64,         # Lp, ww_min
-            _f32p, _f64p, _i64p, _f64p,             # raw, csum, nan, colsum
-            _i64p, _i64p, _f64p, _f64p,             # dd, b1, cvals, ct
-        ]
-        _LIB = lib
-    except OSError:
-        _LIB = None
+            lib = ctypes.CDLL(so)
+            _LIB = _register(lib)
+            return _LIB
+        except (OSError, AttributeError):
+            # stale/foreign .so without band_build2: rebuild once
+            _LIB = None
+            continue
     return _LIB
 
 
-def band_build_native(bin1, bin2, count, weights, L, num, num_p, Lp, ww_min):
+def band_build_native(bin1, bin2, count, weights, L, num, num_p, Lp, ww_min,
+                      keep_sparse=True):
     """-> (raw f32[num_p,Lp], csum f64[num_p], nan_counts i64[num_p],
-    colsum f64[Lp], dd, b1, cvals, ct) or None when the native library is
-    unavailable.  Semantics match the numpy path of ops/band.build_bands."""
+    colsum f64[Lp], sparse (dd, b1, cvals, ct) or None,
+    cand_hist i64[num_p], max_count float) or None when the native
+    library is unavailable.  Semantics match the numpy path of
+    ops/band.build_bands; ``keep_sparse=False`` skips the COO output
+    copies (the production engine derives everything it needs from
+    ``cand_hist``/``max_count``)."""
     lib = _load_library()
     if lib is None:
         return None
@@ -65,21 +84,31 @@ def band_build_native(bin1, bin2, count, weights, L, num, num_p, Lp, ww_min):
     weights = np.ascontiguousarray(weights, np.float64)
     n = bin1.size
     raw = np.zeros((num_p, Lp), np.float32)
+    staging = np.zeros((Lp, num_p), np.float32)
     csum = np.zeros(num_p, np.float64)
     nan_counts = np.zeros(num_p, np.int64)
     colsum = np.zeros(Lp, np.float64)
-    dd = np.empty(n, np.int64)
-    b1 = np.empty(n, np.int64)
-    cvals = np.empty(n, np.float64)
-    ct = np.empty(n, np.float64)
-    m = lib.band_build(
+    cand_hist = np.zeros(num_p, np.int64)
+    out_max = np.zeros(1, np.float64)
+    if keep_sparse:
+        dd = np.empty(n, np.int64)
+        b1 = np.empty(n, np.int64)
+        cvals = np.empty(n, np.float64)
+        ct = np.empty(n, np.float64)
+        dd_p, b1_p = dd.ctypes.data_as(_i64p), b1.ctypes.data_as(_i64p)
+        cv_p, ct_p = cvals.ctypes.data_as(_f64p), ct.ctypes.data_as(_f64p)
+    else:
+        dd_p = b1_p = ctypes.cast(None, _i64p)
+        cv_p = ct_p = ctypes.cast(None, _f64p)
+    m = lib.band_build2(
         bin1.ctypes.data_as(_i64p), bin2.ctypes.data_as(_i64p),
         count.ctypes.data_as(_f64p), n, weights.ctypes.data_as(_f64p),
         L, num, num_p, Lp, ww_min,
-        raw.ctypes.data_as(_f32p), csum.ctypes.data_as(_f64p),
-        nan_counts.ctypes.data_as(_i64p), colsum.ctypes.data_as(_f64p),
-        dd.ctypes.data_as(_i64p), b1.ctypes.data_as(_i64p),
-        cvals.ctypes.data_as(_f64p), ct.ctypes.data_as(_f64p))
+        raw.ctypes.data_as(_f32p), staging.ctypes.data_as(_f32p),
+        csum.ctypes.data_as(_f64p), nan_counts.ctypes.data_as(_i64p),
+        colsum.ctypes.data_as(_f64p), cand_hist.ctypes.data_as(_i64p),
+        out_max.ctypes.data_as(_f64p), dd_p, b1_p, cv_p, ct_p)
     if m < 0:
         return None
-    return raw, csum, nan_counts, colsum, dd[:m], b1[:m], cvals[:m], ct[:m]
+    sparse = (dd[:m], b1[:m], cvals[:m], ct[:m]) if keep_sparse else None
+    return raw, csum, nan_counts, colsum, sparse, cand_hist, float(out_max[0])

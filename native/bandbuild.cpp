@@ -18,6 +18,7 @@
 // out_* arrays hold >= n elements and come back compacted to the selected
 // pixels (0 <= d < num, bins in range).  Pixels are assumed unique
 // (ingestion dedups), so the raw scatter is race-free across threads.
+#include <algorithm>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -111,4 +112,158 @@ extern "C" int64_t band_build(
     for (int64_t x = 0; x < Lp; ++x) colsum[x] += colsum_l[t][x];
   }
   return offsets[n_threads];
+}
+
+// band_build2: cache-friendly successor of band_build.
+//
+// band_build scatters straight into raw[d * Lp + b1]: consecutive pixels
+// (b1-sorted from the cooler) land ~d*Lp*4 bytes apart, so nearly every
+// write misses cache and TLB — the scatter dominated the band stage at
+// genome scale.  Here pixels scatter into a TRANSPOSED staging buffer
+// staging[b1 * num_p + d]: one bin's whole diagonal column is a single
+// ~4KB row, so the b1-sorted stream stays on one hot page at a time.  A
+// threaded blocked transpose then lays out raw[d * Lp + x] (64x64 tiles,
+// both sides resident in L1).  Extras over band_build:
+//   * cand_hist[num_p]: per-diagonal nonzero-pixel counts (the engine's
+//     candidate_total / nnz without keeping the COO arrays around)
+//   * out_max[1]: max selected count (the engine's o_cap planning input)
+//   * out_dd/out_b1/out_cvals/out_ct may be NULL: the production path
+//     needs neither (saves ~300MB of allocation+write at 1e7 pixels)
+// Caller contract: raw, staging, csum, nan_counts, colsum, cand_hist
+// pre-zeroed; staging is [Lp, num_p].  Returns n_selected (or -1).
+extern "C" int64_t band_build2(
+    const int64_t* bin1, const int64_t* bin2, const double* count, int64_t n,
+    const double* weights, int64_t L, int64_t num, int64_t num_p, int64_t Lp,
+    int64_t ww_min, float* raw, float* staging, double* csum,
+    int64_t* nan_counts, double* colsum, int64_t* cand_hist, double* out_max,
+    int64_t* out_dd, int64_t* out_b1, double* out_cvals, double* out_ct) {
+  if (n < 0 || L <= 0 || num <= 0 || num_p < num || Lp < L) return -1;
+
+  unsigned hw = std::thread::hardware_concurrency();
+  int64_t n_threads = hw ? static_cast<int64_t>(hw) : 4;
+  if (n_threads > 16) n_threads = 16;
+  if (n_threads < 1) n_threads = 1;
+  int64_t chunk = (n + n_threads - 1) / n_threads;
+  if (chunk < 1) chunk = 1;
+  bool want_out = out_dd != nullptr;
+
+  auto selected = [&](int64_t i) -> bool {
+    int64_t b1 = bin1[i], b2 = bin2[i];
+    int64_t d = b2 - b1;
+    return d >= 0 && d < num && b1 >= 0 && b2 < L;
+  };
+
+  // phase 1 (only when compaction outputs are wanted): slice offsets
+  std::vector<int64_t> offsets(n_threads + 1, 0);
+  if (want_out) {
+    std::vector<int64_t> slice_counts(n_threads, 0);
+    std::vector<std::thread> ts;
+    for (int64_t t = 0; t < n_threads; ++t) {
+      ts.emplace_back([&, t] {
+        int64_t lo = t * chunk, hi = std::min(n, (t + 1) * chunk);
+        int64_t c = 0;
+        for (int64_t i = lo; i < hi; ++i) c += selected(i) ? 1 : 0;
+        slice_counts[t] = c;
+      });
+    }
+    for (auto& th : ts) th.join();
+    for (int64_t t = 0; t < n_threads; ++t)
+      offsets[t + 1] = offsets[t] + slice_counts[t];
+  }
+
+  // phase 2: transposed scatter + thread-local reductions
+  std::vector<std::vector<double>> csum_l(n_threads), colsum_l(n_threads);
+  std::vector<std::vector<int64_t>> nan_l(n_threads), hist_l(n_threads);
+  std::vector<double> max_l(n_threads, 0.0);
+  std::vector<int64_t> sel_l(n_threads, 0);
+  {
+    std::vector<std::thread> ts;
+    for (int64_t t = 0; t < n_threads; ++t) {
+      ts.emplace_back([&, t] {
+        csum_l[t].assign(num_p, 0.0);
+        colsum_l[t].assign(Lp, 0.0);
+        nan_l[t].assign(num_p, 0);
+        hist_l[t].assign(num_p, 0);
+        int64_t lo = t * chunk, hi = std::min(n, (t + 1) * chunk);
+        int64_t o = offsets[t];
+        double mx = 0.0;
+        int64_t sel = 0;
+        for (int64_t i = lo; i < hi; ++i) {
+          if (!selected(i)) continue;
+          int64_t b1 = bin1[i], b2 = bin2[i];
+          int64_t d = b2 - b1;
+          double ct = count[i];
+          staging[b1 * num_p + d] = static_cast<float>(ct);
+          if (ct > mx) mx = ct;
+          if (ct != 0.0) hist_l[t][d] += 1;
+          ++sel;
+          double wp = weights[b1] * weights[b2];
+          double cval;
+          if (std::isnan(wp)) {
+            nan_l[t][d] += 1;
+            cval = 0.0;
+          } else {
+            cval = ct * wp;
+            csum_l[t][d] += cval;
+            if (d >= ww_min) colsum_l[t][b1] += cval;
+          }
+          if (want_out) {
+            out_dd[o] = d;
+            out_b1[o] = b1;
+            out_cvals[o] = cval;
+            out_ct[o] = ct;
+            ++o;
+          }
+        }
+        max_l[t] = mx;
+        sel_l[t] = sel;
+      });
+    }
+    for (auto& th : ts) th.join();
+  }
+
+  double mx = 0.0;
+  int64_t n_sel = 0;
+  for (int64_t t = 0; t < n_threads; ++t) {
+    for (int64_t d = 0; d < num_p; ++d) {
+      csum[d] += csum_l[t][d];
+      nan_counts[d] += nan_l[t][d];
+      cand_hist[d] += hist_l[t][d];
+    }
+    for (int64_t x = 0; x < Lp; ++x) colsum[x] += colsum_l[t][x];
+    if (max_l[t] > mx) mx = max_l[t];
+    n_sel += sel_l[t];
+  }
+  if (out_max) *out_max = mx;
+
+  // phase 3: blocked transpose staging[x, d] -> raw[d, x].  64x64 tiles
+  // keep both the staging reads and the raw writes L1-resident; threads
+  // partition the d axis so write regions never overlap.  Only the
+  // semantically nonzero region [0, num) x [0, L) is touched — raw's
+  // padding stays as calloc zero pages.
+  {
+    const int64_t TB = 64;
+    int64_t n_dblk = (num + TB - 1) / TB;
+    int64_t per = (n_dblk + n_threads - 1) / n_threads;
+    std::vector<std::thread> ts;
+    for (int64_t t = 0; t < n_threads; ++t) {
+      ts.emplace_back([&, t] {
+        int64_t blo = t * per, bhi = std::min(n_dblk, (t + 1) * per);
+        for (int64_t bd = blo; bd < bhi; ++bd) {
+          int64_t d0 = bd * TB, d1 = std::min(num, d0 + TB);
+          for (int64_t x0 = 0; x0 < L; x0 += TB) {
+            int64_t x1 = std::min(L, x0 + TB);
+            for (int64_t d = d0; d < d1; ++d) {
+              float* dst = raw + d * Lp;
+              const float* src = staging + d;
+              for (int64_t x = x0; x < x1; ++x)
+                dst[x] = src[x * num_p];
+            }
+          }
+        }
+      });
+    }
+    for (auto& th : ts) th.join();
+  }
+  return n_sel;
 }

@@ -116,6 +116,21 @@ def test_native_band_build_matches_numpy():
     np.testing.assert_array_equal(nat.cband, ref.cband.astype(np.float32))
     for lo, hi in ((ww_min, 50), (0, num)):
         assert nat.candidate_total(lo, hi) == ref.candidate_total(lo, hi)
+    np.testing.assert_array_equal(nat.cand_hist, ref.cand_hist)
+    assert nat.max_count == ref.max_count == float(ct.max())
+    assert nat.nnz() == ref.nnz()
+
+    # production form: no COO copies, everything else identical
+    slim = build_bands(b1, b2, ct, w, L, num, ww_min, res=10000,
+                       dtype=np.float32, keep_sparse=False)
+    assert slim._sparse is None
+    np.testing.assert_array_equal(slim.raw, nat.raw)
+    np.testing.assert_array_equal(slim.cand_hist, nat.cand_hist)
+    assert slim.max_count == nat.max_count
+    for lo, hi in ((ww_min, 50), (0, num)):
+        assert slim.candidate_total(lo, hi) == nat.candidate_total(lo, hi)
+    with pytest.raises(AttributeError):
+        slim.cband
 
 
 def test_gap_vector_matches_dense_cband():
