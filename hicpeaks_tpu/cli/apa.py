@@ -62,6 +62,13 @@ def main(argv=None):
                         help='Matplotlib colormap name.')
     parser.add_argument('--vmax', type=float,
                         help='Maximum of the colorbar.')
+    parser.add_argument('--device', action='store_true',
+                        help='Gather and normalize APA windows on the '
+                             'accelerator (ops/apa_ops.apa_windows, '
+                             'BASELINE config 5) instead of the float64 '
+                             'host path; statistics agree to float32 '
+                             'tolerance, pixel-exact figure parity needs '
+                             'the default host path.')
     args = parser.parse_args(argv if argv is not None else sys.argv[1:])
     if args.output is None:
         parser.print_help()
@@ -113,13 +120,26 @@ def main(argv=None):
         nanband = np.zeros_like(band)
         nanband[d, b1] = nanvals
 
+        if args.device:
+            # batched device gather + normalization (jnp reduction order /
+            # f32 on TPU: tolerance-level, not pixel-exact, parity)
+            import jax.numpy as jnp
+
+            from ..ops.apa_ops import apa_windows
+            xs_d = jnp.asarray([p[0] for p in pos], jnp.int32)
+            ys_d = jnp.asarray([p[1] for p in pos], jnp.int32)
+            norm, ok, _means = apa_windows(jnp.asarray(band),
+                                           jnp.asarray(nanband),
+                                           xs_d, ys_d, args.window, L)
+            stacks.append(np.asarray(norm)[np.asarray(ok)])
+            continue
+
         # float64 numpy window extraction/normalization: the reference's
         # 1/99-percentile trim (apa.py:33-35) compares post-normalization
         # window means that are all ~1.0, so which windows it keeps is
         # decided at the last ulp — pixel parity with scripts/apa-analysis
         # therefore needs bit-identical f64 math here (the device path,
-        # ops/apa_ops.apa_windows, serves api/benchmark use where jnp's
-        # reduction order and default f32 are fine)
+        # ops/apa_ops.apa_windows, routes there via --device)
         ww = args.window
         xs = np.asarray([p[0] for p in pos])[:, None, None]
         ys = np.asarray([p[1] for p in pos])[:, None, None]

@@ -14,7 +14,8 @@ import logging
 import sys
 
 from .. import __version__
-from .common import setup_logging, echo_arguments
+from .common import (setup_logging, echo_arguments,
+                     enable_compilation_cache)
 
 
 def _common_data_args(parser):
@@ -134,6 +135,7 @@ def hiccups_main(argv=None):
         parser.print_help()
         return 1
 
+    enable_compilation_cache()
     logger = setup_logging(args.logFile)
     disarm = _arm_watchdog(args.watchdog)
     echo_arguments(logger, [
@@ -221,6 +223,7 @@ def bhfdr_main(argv=None):
         parser.print_help()
         return 1
 
+    enable_compilation_cache()
     logger = setup_logging(args.logFile, rotating=True)
     disarm = _arm_watchdog(args.watchdog)
     echo_arguments(logger, [

@@ -204,33 +204,18 @@ class CoolerLite:
     def pixels_for_chrom(self, chrom):
         """(bin1, bin2, count) local to the chromosome (intra only).
 
-        The three pixel columns decompress on independent file handles in
-        parallel (gzip inflate is single-threaded per dataset and this
-        read sits on the band-ingestion critical path at genome scale)."""
+        Sequential single-handle reads: h5py serializes every HDF5 call
+        (including the gzip inflate inside H5Dread) under its global lock,
+        so per-column reader threads only add overhead (round-2 advisor
+        finding: the threaded form measured ~15% slower)."""
         lo, hi = self.bin_range(chrom)
         with h5py.File(self.path, 'r') as h5:
-            b1o = h5[self.group]['indexes/bin1_offset']
+            grp = h5[self.group]
+            b1o = grp['indexes/bin1_offset']
             plo, phi = int(b1o[lo]), int(b1o[hi])
-
-        cols, errs = {}, []
-
-        def read(name):
-            try:
-                with h5py.File(self.path, 'r') as h5:
-                    cols[name] = h5[self.group][f'pixels/{name}'][plo:phi]
-            except BaseException as exc:
-                errs.append(exc)
-
-        import threading
-        ts = [threading.Thread(target=read, args=(n,))
-              for n in ('bin1_id', 'bin2_id', 'count')]
-        for t in ts:
-            t.start()
-        for t in ts:
-            t.join()
-        if errs:
-            raise errs[0]
-        b1, b2, ct = cols['bin1_id'], cols['bin2_id'], cols['count']
+            b1 = grp['pixels/bin1_id'][plo:phi]
+            b2 = grp['pixels/bin2_id'][plo:phi]
+            ct = grp['pixels/count'][plo:phi]
         mask = (b2 >= lo) & (b2 < hi)
         return (b1[mask] - lo), (b2[mask] - lo), ct[mask]
 

@@ -48,6 +48,7 @@ def _load_library():
     _TRIED = True
     so = os.path.join(_NATIVE_DIR, 'libbandbuild.so')
     for attempt in range(2):
+        load_path = so
         if not os.path.exists(so) or attempt:
             try:
                 subprocess.run(['make', '-C', _NATIVE_DIR, '-B',
@@ -55,14 +56,32 @@ def _load_library():
                                check=True, capture_output=True)
             except Exception:
                 return None
+            if attempt:
+                # glibc dlopen caches by pathname, so re-CDLLing `so` after
+                # a stale first load would silently return the OLD mapping
+                # (round-2 advisor finding) — load the rebuilt library
+                # under a unique pathname instead
+                import shutil
+                import tempfile
+                fd, load_path = tempfile.mkstemp(
+                    suffix='.so', prefix='libbandbuild-', dir=_NATIVE_DIR)
+                os.close(fd)
+                shutil.copy2(so, load_path)
         try:
-            lib = ctypes.CDLL(so)
+            lib = ctypes.CDLL(load_path)
             _LIB = _register(lib)
             return _LIB
         except (OSError, AttributeError):
             # stale/foreign .so without band_build2: rebuild once
             _LIB = None
             continue
+        finally:
+            if load_path != so:
+                # the mapping stays valid after unlink; keep the dir clean
+                try:
+                    os.unlink(load_path)
+                except OSError:
+                    pass
     return _LIB
 
 

@@ -355,7 +355,7 @@ def chunk_bh_histogram(O, cid, valid, n_chunks=128, o_cap=32768,
     shape = O.shape
     S, C = n_chunks, o_cap + 1
     Oc_p, cid_p, n = _chunk_pack(O, cid, valid, S, C)
-    qtab = _chunk_qtab(Oc_p, cid_p, S, C, O.dtype, hist_backend)
+    qtab, _ = _chunk_qtab(Oc_p, cid_p, S, C, O.dtype, hist_backend)
     s_iota = jnp.arange(S, dtype=jnp.int32)
     c_iota = jnp.arange(C, dtype=jnp.int32)
 
@@ -380,7 +380,7 @@ def chunk_bh_histogram(O, cid, valid, n_chunks=128, o_cap=32768,
 
 
 def chunk_bh_keep(O, cid, valid, sig, n_chunks=128, o_cap=32768,
-                  hist_backend='jnp'):
+                  hist_backend='jnp', slack=0.0, mesh=None):
     """``(chunk_bh_histogram(...) <= sig)`` without the per-pixel q lookup.
 
     ``qtab`` is a cummin over ascending integer counts, so within a chunk
@@ -403,15 +403,34 @@ def chunk_bh_keep(O, cid, valid, sig, n_chunks=128, o_cap=32768,
     arithmetic is exact: thr and its deltas are integers < 2^24, so any
     f32 summation order yields the same value.
 
-    Returns (keep mask, qtab [n_chunks, o_cap+1]); look up exact q-values
-    for compacted pixels as ``qtab[cid, floor(O)]`` (invalid pixels carry
-    q = 1, which this mask admits only when ``sig >= 1``).
+    ``slack > 0`` inflates the significance level used for the count
+    threshold (``sig * (1 + slack)``) so the mask is a guaranteed SUPERSET
+    of the float64 rejection set: the f32 qtab's only inexact term is the
+    f32 ``gammainc`` evaluation of ptab (m and rank_max are exact integers
+    and the cummin creates no new values), whose relative error near
+    moderate p-values is far below 1e-2.  The engine recomputes exact
+    float64 p/q for the compacted pixels from the returned integer
+    histogram (:func:`host_chunk_complete`) and filters with the true
+    ``sig`` — reference semantics (callers.py:263-287) in full float64.
+
+    Returns (keep mask, qtab [n_chunks, o_cap+1], hist [n_chunks, o_cap+1]
+    int32); look up f32 q-values for compacted pixels as
+    ``qtab[cid, floor(O)]`` (invalid pixels carry q = 1, which this mask
+    admits only when ``sig >= 1``).
     """
     S, C = n_chunks, o_cap + 1
-    Oc_p, cid_p, _n = _chunk_pack(O, cid, valid, S, C)
-    qtab = _chunk_qtab(Oc_p, cid_p, S, C, O.dtype, hist_backend)
+    if mesh is not None:
+        # sheet sharded along columns: per-shard histogram (Pallas-capable
+        # inside shard_map) + one psum — GSPMD cannot partition the
+        # pallas_call, and packing a sharded ravel would reshard anyway
+        from ..parallel.tiles import chunk_hist_sharded
+        hist = chunk_hist_sharded(O, cid, valid, S, C, hist_backend, mesh)
+        qtab = qtab_from_hist(hist, O.dtype)
+    else:
+        Oc_p, cid_p, _n = _chunk_pack(O, cid, valid, S, C)
+        qtab, hist = _chunk_qtab(Oc_p, cid_p, S, C, O.dtype, hist_backend)
     # first count index with q <= sig, per chunk (C if none)
-    thr = (qtab > sig).astype(O.dtype).sum(axis=1)
+    thr = (qtab > sig * (1.0 + slack)).astype(O.dtype).sum(axis=1)
     # s = 1..S-2 (the upper clamp matches _chunk_pack's cid clip at S-1)
     s = jnp.arange(1, S - 1, dtype=jnp.int32)
     deltas = (thr[2:] - thr[1:-1])
@@ -420,7 +439,7 @@ def chunk_bh_keep(O, cid, valid, sig, n_chunks=128, o_cap=32768,
     keep = valid & (jnp.clip(jnp.floor(O), 0, C - 1) >= th)
     # invalid pixels carry q = 1.0, admitted by the mask only when sig >= 1
     keep = keep | (~valid & (jnp.asarray(sig, O.dtype) >= 1.0))
-    return keep, qtab
+    return keep, qtab, hist
 
 
 def _chunk_pack(O, cid, valid, S, C):
@@ -441,45 +460,59 @@ def _chunk_pack(O, cid, valid, S, C):
             jnp.pad(cidc, (0, pad)).reshape(-1, CH), n)
 
 
+def chunk_hist(Oc_p, cid_p, S, C, hist_backend='jnp'):
+    """Exact int32 [S, C] histogram of the packed (count, chunk) streams.
+
+    ``hist_backend``: 'jnp' (one-hot matmul scan), 'pallas' (fused VMEM
+    one-hot kernel, bit-exact, ~4x less HBM traffic on TPU), or
+    'pallas-interpret' (the kernel under the interpreter, for CPU
+    tests).  A pallas_call cannot be embedded in a GSPMD-partitioned
+    program; mesh callers route through
+    parallel.tiles.chunk_hist_sharded, which runs this per shard inside
+    shard_map and psums."""
+    if hist_backend in ('pallas', 'pallas-interpret'):
+        from .pallas_hist import chunk_hist_pallas
+        return chunk_hist_pallas(Oc_p, cid_p, S, C,
+                                 interpret=hist_backend != 'pallas')
+    # Histogram as one-hot matmuls over pixel chunks (MXU work):
+    # scatter-add with duplicate indices and large gathers both lower
+    # pathologically on TPU; 0/1 one-hot arithmetic in bf16 with f32
+    # accumulation is bit-exact per step (CH <= 32768 < 2^24), and the
+    # running total is carried in int32 so no bucket ever saturates a
+    # f32 mantissa however many pixels land in it (ADVICE r1).
+    s_iota = jnp.arange(S, dtype=jnp.int32)
+    c_iota = jnp.arange(C, dtype=jnp.int32)
+
+    def hist_step(acc, xs):
+        oc, cc = xs
+        oh_s = (cc[:, None] == s_iota[None, :]).astype(jnp.bfloat16)
+        oh_o = (oc[:, None] == c_iota[None, :]).astype(jnp.bfloat16)
+        step = jnp.dot(oh_s.T, oh_o, preferred_element_type=jnp.float32)
+        acc = acc + step.astype(jnp.int32)
+        return acc, None
+
+    hist2, _ = jax.lax.scan(hist_step, jnp.zeros((S, C), jnp.int32),
+                            (Oc_p, cid_p))
+    return hist2
+
+
 def _chunk_qtab(Oc_p, cid_p, S, C, dtype, hist_backend='jnp'):
     """The (chunk, count) BH q table shared by the dense-lookup and
-    threshold-mask front ends.
+    threshold-mask front ends; returns ``(qtab, hist)`` with ``hist`` the
+    exact int32 (chunk, count) histogram the table was built from (the
+    engine ships it to the controller for float64 p/q completion).
 
     Row 0 is a trash row: invalid pixels are folded there by
     :func:`_chunk_pack`, so its m/rank/q entries are garbage-but-finite
-    and no valid pixel ever reads them.
+    and no valid pixel ever reads them."""
+    hist2 = chunk_hist(Oc_p, cid_p, S, C, hist_backend)
+    return qtab_from_hist(hist2, dtype), hist2
 
-    ``hist_backend``: 'jnp' (the scan below — required under a mesh,
-    where GSPMD cannot partition a pallas_call), 'pallas' (fused VMEM
-    one-hot kernel, bit-exact, ~4x less HBM traffic on TPU), or
-    'pallas-interpret' (the kernel under the interpreter, for CPU
-    tests)."""
 
-    if hist_backend in ('pallas', 'pallas-interpret'):
-        from .pallas_hist import chunk_hist_pallas
-        hist2 = chunk_hist_pallas(Oc_p, cid_p, S, C,
-                                  interpret=hist_backend != 'pallas')
-    else:
-        # Histogram as one-hot matmuls over pixel chunks (MXU work):
-        # scatter-add with duplicate indices and large gathers both lower
-        # pathologically on TPU; 0/1 one-hot arithmetic in bf16 with f32
-        # accumulation is bit-exact per step (CH <= 32768 < 2^24), and the
-        # running total is carried in int32 so no bucket ever saturates a
-        # f32 mantissa however many pixels land in it (ADVICE r1).
-        s_iota = jnp.arange(S, dtype=jnp.int32)
-        c_iota = jnp.arange(C, dtype=jnp.int32)
-
-        def hist_step(acc, xs):
-            oc, cc = xs
-            oh_s = (cc[:, None] == s_iota[None, :]).astype(jnp.bfloat16)
-            oh_o = (oc[:, None] == c_iota[None, :]).astype(jnp.bfloat16)
-            step = jnp.dot(oh_s.T, oh_o, preferred_element_type=jnp.float32)
-            acc = acc + step.astype(jnp.int32)
-            return acc, None
-
-        hist2, _ = jax.lax.scan(hist_step, jnp.zeros((S, C), jnp.int32),
-                                (Oc_p, cid_p))
-
+def qtab_from_hist(hist2, dtype):
+    """f32 BH q table from the exact integer histogram (see
+    :func:`_chunk_qtab`; the float64 twin is :func:`host_chunk_qtab64`)."""
+    S, C = hist2.shape
     m = hist2.sum(axis=1, keepdims=True).astype(dtype)
     # rank_max(s, O): pixels with count >= O  (descending-O cumulative)
     rank_max = jnp.cumsum(hist2[:, ::-1], axis=1)[:, ::-1].astype(dtype)
@@ -577,6 +610,82 @@ def host_bh_complete(p_small, ranks, m, sig):
     q = np.empty_like(q_sorted)
     q[order] = q_sorted
     return q
+
+
+def host_chunk_qtab64(hist):
+    """Exact float64 (chunk, count) BH q table from the integer histogram.
+
+    The float64 twin of :func:`_chunk_qtab`: within a chunk every pixel's
+    p-value is ``poisson.sf(count; right_edge)`` (reference
+    callers.py:268-270 computes ``1 - Poisson(rv).cdf(O)``), so BH over the
+    chunk collapses onto the histogram; scipy's ``poisson.sf`` is the same
+    float64 evaluation the reference uses.  Returns (ptab, qtab), both
+    float64 [S, C]."""
+    import numpy as np
+    from scipy.stats import poisson as _poisson
+    hist = np.asarray(hist, np.int64)
+    S, C = hist.shape
+    m = hist.sum(axis=1, keepdims=True).astype(np.float64)
+    rank_max = np.cumsum(hist[:, ::-1], axis=1)[:, ::-1].astype(np.float64)
+    rv = np.power(2.0, (np.arange(S, dtype=np.float64) - 1.0) / 3.0)[:, None]
+    counts = np.arange(C, dtype=np.float64)[None, :]
+    ptab = _poisson.sf(counts, rv)
+    qraw = np.where(rank_max > 0,
+                    np.minimum(ptab * m / np.maximum(rank_max, 1.0), 1.0),
+                    2.0)
+    # BH's suffix-min runs from the largest p backward; within a chunk p is
+    # DECREASING in the count, so it is a prefix-min over ascending counts
+    # (the float64 twin of _chunk_qtab's lax.cummin)
+    qtab = np.minimum.accumulate(qraw, axis=1)
+    return ptab, qtab
+
+
+def host_chunk_complete(O_small, cid_small, hist):
+    """Exact float64 p/q for compacted lambda-chunked pixels.
+
+    ``hist`` is the exact int32 (chunk, count) histogram over ALL valid
+    pixels (from :func:`chunk_bh_keep`), so the controller reconstructs
+    the full per-chunk BH in float64 — identical to running statsmodels'
+    fdr_bh on the reference's float64 p-values (callers.py:263-287) given
+    the same chunk assignment — and serves the compacted pixels' p/q by
+    (chunk, count) lookup.  Returns (p64, q64) float64 arrays."""
+    import numpy as np
+    ptab, qtab = host_chunk_qtab64(hist)
+    S, C = qtab.shape
+    oc = np.clip(np.floor(np.asarray(O_small, np.float64)).astype(np.int64),
+                 0, C - 1)
+    cs = np.clip(np.asarray(cid_small, np.int64), 0, S - 1)
+    p, q = ptab[cs, oc], qtab[cs, oc]
+    # chunk 0 is the trash row (invalid pixels, compactable only when
+    # sig >= 1): they carry p = q = 1 in the reference
+    p[cs == 0] = 1.0
+    q[cs == 0] = 1.0
+    return p, q
+
+
+def host_chunk_dense(O, cid, valid, sig):
+    """Float64 p/q/keep for the DENSE fallback path (keep-cap overflow or
+    an explicit host BH request): the exact-histogram completion of
+    :func:`host_chunk_complete` computed entirely from fetched dense
+    arrays.  Returns (p64, q64, keep) dense arrays (p = q = 1 where
+    invalid)."""
+    import numpy as np
+    O = np.asarray(O)
+    c = np.clip(np.asarray(cid), 0, 127).astype(np.int64)
+    v = np.asarray(valid)
+    oc = np.floor(np.asarray(O, np.float64)).astype(np.int64)
+    np.clip(oc, 0, None, out=oc)
+    C = int(oc[v].max()) + 1 if v.any() else 1
+    oc = np.minimum(oc, C - 1)
+    S = 128
+    hist = np.bincount((c[v] * C + oc[v]).ravel(),
+                       minlength=S * C).reshape(S, C)
+    ptab, qtab = host_chunk_qtab64(hist)
+    p = np.ones(O.shape, np.float64)
+    q = np.ones(O.shape, np.float64)
+    p[v] = ptab[c[v], oc[v]]
+    q[v] = qtab[c[v], oc[v]]
+    return p, q, v & (q <= sig)
 
 
 def host_bh(pvals, cids, valid):

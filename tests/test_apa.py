@@ -129,3 +129,34 @@ def test_apa_analysis_scoring():
     assert p < 0.01
     # the reference derives vmax from the upper corner
     np.testing.assert_allclose(maxi, avg[:cw, -cw:].mean() * 5, rtol=1e-12)
+
+
+def test_apa_cli_device_flag_matches_host(tmp_path, capsys):
+    """--device routes the CLI's window extraction through
+    ops/apa_ops.apa_windows (round-2 verdict next-step #9); it must keep
+    the same windows (identical validity decisions) and emit a figure."""
+    from hicpeaks_tpu.cli import apa as apa_cli
+    from hicpeaks_tpu.io.synth import synthetic_cooler
+
+    uri, loops = synthetic_cooler(str(tmp_path / 'apa.cool'), n_bins=400,
+                                  res=25000, seed=5, n_loops=25, depth=60.0)
+    res = 25000
+    bedpe = tmp_path / 'loops.bedpe'
+    with open(bedpe, 'w') as f:
+        for x, y in loops:
+            f.write(f'21\t{x * res}\t{(x + 1) * res}\t'
+                    f'21\t{y * res}\t{(y + 1) * res}\n')
+
+    rc = apa_cli.main(['-O', str(tmp_path / 'host.png'), '-p', uri,
+                       '-I', str(bedpe), '-S', '0', '-M', '5'])
+    assert rc == 0
+    n_host = capsys.readouterr().out.strip().splitlines()[-1]
+
+    rc = apa_cli.main(['-O', str(tmp_path / 'dev.png'), '-p', uri,
+                       '-I', str(bedpe), '-S', '0', '-M', '5', '--device'])
+    assert rc == 0
+    n_dev = capsys.readouterr().out.strip().splitlines()[-1]
+
+    assert n_host == n_dev and int(n_host) > 0
+    assert (tmp_path / 'host.png').stat().st_size > 0
+    assert (tmp_path / 'dev.png').stat().st_size > 0

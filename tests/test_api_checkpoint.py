@@ -89,3 +89,21 @@ def test_pipelined_loader_failure_propagates(tmp_path, monkeypatch):
         api.call_bhfdr(uri, cfg, dtype=np.float64)
     # loader thread exited (no leak across runs)
     assert threading.active_count() <= before
+
+
+def test_empty_chromosome_selection_warns(tmp_path, caplog):
+    """`-C chr21`-style selections that match nothing must produce a loud
+    warning naming the cooler's labels (round-2 verdict weak #6), not a
+    silent empty run."""
+    import logging
+
+    uri = _two_chrom_cooler(str(tmp_path / 'w.cool'))
+    cfg = BHFDRConfig(pw=1, ww=3, maxww=8, maxapart=1500000)
+    with caplog.at_level(logging.WARNING, logger='hicpeaks_tpu.api'):
+        out = api.call_bhfdr(uri, cfg, chroms=('chr1', 'chr2'),
+                             dtype=np.float64)
+    assert out == {}
+    warn = [r for r in caplog.records if 'matched none' in r.getMessage()]
+    assert warn, 'expected a warning about the empty chromosome selection'
+    msg = warn[0].getMessage()
+    assert "'1'" in msg and 'chr1' in msg

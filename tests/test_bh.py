@@ -135,15 +135,74 @@ def test_chunk_bh_keep_matches_dense_threshold(sig):
 
     q_dense = np.asarray(chunk_bh_histogram(
         jnp.asarray(O), jnp.asarray(cid), jnp.asarray(valid), o_cap=256))
-    keep, qtab = chunk_bh_keep(jnp.asarray(O),
-                               jnp.asarray(cid), jnp.asarray(valid),
-                               jnp.float32(sig), o_cap=256)
+    keep, qtab, hist = chunk_bh_keep(jnp.asarray(O),
+                                     jnp.asarray(cid), jnp.asarray(valid),
+                                     jnp.float32(sig), o_cap=256)
     np.testing.assert_array_equal(np.asarray(keep), q_dense <= sig)
 
     oc = np.clip(np.floor(O).astype(np.int64), 0, 256)
     qt = np.asarray(qtab)
     q_lookup = np.where(valid, qt[np.clip(cid, 0, 127), oc], 1.0)
     np.testing.assert_array_equal(q_lookup, q_dense)
+
+    # the returned integer histogram is exact on every real chunk row
+    # (row 0 is the trash row: invalid pixels plus scan padding)
+    want_hist = np.zeros((128, 257), np.int64)
+    np.add.at(want_hist, (np.where(valid, np.clip(cid, 1, 127), 0), oc), 1)
+    np.testing.assert_array_equal(np.asarray(hist)[1:], want_hist[1:])
+
+
+@pytest.mark.parametrize('sig', [0.05, 0.1])
+def test_host_chunk_complete_matches_f64_reference(sig):
+    """The controller's float64 completion (superset keep -> histogram ->
+    host_chunk_complete -> filter) must reproduce the statsmodels-
+    equivalent per-chunk BH on float64 p-values EXACTLY — the reference's
+    emitted statistics (callers.py:263-287), with zero f32 residue."""
+    from scipy.stats import poisson as sp_poisson
+
+    from hicpeaks_tpu.ops.score import (chunk_bh_keep, host_chunk_complete,
+                                        host_chunk_dense, lambda_chunks)
+
+    rng = np.random.default_rng(31)
+    n = 50000
+    O = rng.poisson(6.0, n).astype(np.float32)
+    O[:64] = rng.integers(40, 220, 64)     # extreme-tail p-values
+    E = np.exp(rng.uniform(np.log(0.05), np.log(300.0), n)).astype(np.float32)
+    scored = rng.random(n) < 0.9
+    cid, rv, valid = (np.asarray(a) for a in lambda_chunks(
+        jnp.asarray(E), jnp.asarray(scored)))
+
+    # f64 reference: per-chunk statsmodels BH on scipy f64 p-values
+    rv64 = np.power(2.0, (cid.astype(np.float64) - 1.0) / 3.0)
+    p64_ref = np.ones(n)
+    p64_ref[valid] = sp_poisson.sf(np.floor(O[valid].astype(np.float64)),
+                                   rv64[valid])
+    q64_ref = np.ones(n)
+    for c in np.unique(cid[valid]):
+        sel = valid & (cid == c)
+        q64_ref[sel] = fdr_bh(p64_ref[sel], alpha=sig)[1]
+    ref_keep = valid & (q64_ref <= sig)
+
+    keep, _qtab, hist = chunk_bh_keep(
+        jnp.asarray(O), jnp.asarray(cid), jnp.asarray(valid),
+        jnp.float32(sig), o_cap=256, slack=0.01)
+    keep = np.asarray(keep)
+    assert (keep | ~ref_keep).all(), 'inflated keep must be a superset'
+
+    idx = np.nonzero(keep)[0]
+    p64, q64 = host_chunk_complete(O[idx], cid[idx], hist)
+    fin = q64 <= sig
+    got_keep = np.zeros(n, bool)
+    got_keep[idx[fin]] = True
+    np.testing.assert_array_equal(got_keep, ref_keep)
+    np.testing.assert_allclose(p64[fin], p64_ref[idx[fin]], rtol=0, atol=0)
+    np.testing.assert_allclose(q64[fin], q64_ref[idx[fin]], rtol=0, atol=0)
+
+    # the dense fallback completion agrees bit-for-bit
+    pd, qd, keepd = host_chunk_dense(O, cid, valid, sig)
+    np.testing.assert_array_equal(keepd, ref_keep)
+    np.testing.assert_allclose(pd[valid], p64_ref[valid], rtol=0, atol=0)
+    np.testing.assert_allclose(qd[valid], q64_ref[valid], rtol=0, atol=0)
 
 
 @pytest.mark.parametrize('seed,sig', [(0, 0.05), (1, 0.1), (2, 0.31)])

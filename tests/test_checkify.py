@@ -38,3 +38,46 @@ def test_checkify_catches_nan_corruption():
                       min_marginal_peaks=2)
     with pytest.raises(Exception, match='(?i)nan|check'):
         engine.bhfdr_chrom(bands, cfg, check=True)
+
+
+def test_checkify_scan_math_clean_and_poisoned():
+    """checkify sweep of the ring-scan math (round-2 verdict next-step
+    #10).  The Pallas kernels share their entire scan body with the jnp
+    path (ops/scan._scan_core), and checkify cannot thread through the
+    pallas interpreter's internal scan — so the float/index instrumentation
+    runs on the shared math, and kernel-specific OOB/DMA behavior is
+    pinned by the bit-exact adversarial sweep in test_pallas_scan."""
+    import jax.numpy as jnp
+    from jax.experimental import checkify
+
+    from hicpeaks_tpu.core import poolplan
+    from hicpeaks_tpu.ops import scan as scan_ops
+
+    bands = _bands()
+    raw = jnp.asarray(bands.raw)
+    cband = raw * 0.7
+    eband = jnp.ones_like(raw)
+    cand = raw != 0
+    plan = tuple(poolplan.hiccups_pool_plan([1], [3], 6))
+    allowed = jnp.ones(len(plan), bool)
+
+    def run(raw, cband, eband, cand):
+        return scan_ops._scan(raw, cband, eband, cand, plan, (1,), 16,
+                              allowed, True)
+
+    checked = checkify.checkify(
+        run, errors=checkify.float_checks | checkify.index_checks)
+    err, (counts, _, outs) = checked(raw, cband, eband, cand)
+    err.throw()   # clean data: no error
+    _, _, want = scan_ops.scan_pass_b(raw, cband, eband, cand, allowed,
+                                      plan, (1,), 16)
+    for t in range(4):
+        np.testing.assert_array_equal(np.asarray(outs[1][t]),
+                                      np.asarray(want[1][t]))
+
+    # NaN poison: checkify's float checks flag any op that *produces* a
+    # NaN (an already-inf input that merely propagates does not trip them)
+    bad = raw.at[5, 60].set(jnp.nan)
+    err, _ = checked(bad, bad * 0.7, eband, cand.at[5, 60].set(True))
+    with pytest.raises(Exception, match='(?i)nan|inf|check'):
+        err.throw()

@@ -65,11 +65,12 @@ def test_chunk_bh_keep_pallas_backend_matches_jnp(sig):
     cid, rv, valid = score_ops.lambda_chunks(jnp.asarray(E),
                                              jnp.asarray(scored))
 
-    keep_j, qtab_j = score_ops.chunk_bh_keep(
+    keep_j, qtab_j, hist_j = score_ops.chunk_bh_keep(
         jnp.asarray(O), cid, valid, jnp.float32(sig), o_cap=256,
         hist_backend='jnp')
-    keep_p, qtab_p = score_ops.chunk_bh_keep(
+    keep_p, qtab_p, hist_p = score_ops.chunk_bh_keep(
         jnp.asarray(O), cid, valid, jnp.float32(sig), o_cap=256,
         hist_backend='pallas-interpret')
     np.testing.assert_array_equal(np.asarray(keep_p), np.asarray(keep_j))
     np.testing.assert_array_equal(np.asarray(qtab_p), np.asarray(qtab_j))
+    np.testing.assert_array_equal(np.asarray(hist_p), np.asarray(hist_j))

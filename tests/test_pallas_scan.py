@@ -38,10 +38,11 @@ def test_pallas_capture_matches_jnp(pw, ww, maxww):
                              16, interpret=True)
     for p in p_list:
         for t, name in enumerate(('KS', 'KE', 'YS', 'YE')):
-            np.testing.assert_allclose(np.asarray(got[p][t]),
-                                       np.asarray(want[p][t]),
-                                       atol=1e-4,
-                                       err_msg=f'p={p} {name}')
+            # bit-exact: same _scan_core math, same accumulation order
+            # (also verified on TPU hardware by benchmarks/hw_validate.py)
+            np.testing.assert_array_equal(np.asarray(got[p][t]),
+                                          np.asarray(want[p][t]),
+                                          err_msg=f'p={p} {name}')
 
 
 @pytest.mark.parametrize('pw,ww,maxww,thr', [
@@ -66,3 +67,44 @@ def test_pallas_count_matches_jnp(pw, ww, maxww, thr):
     want = scan_ops.scan_pass_a(raw, cand, plan, p_list, thr)
     got = scan_pass_a_pallas(raw, cand, plan, p_list, thr, interpret=True)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize('num_p,Lp,L', [
+    (17, 139, 131),     # nothing aligned: rows/cols force ragged padding
+    (8, 384, 380),      # fewer band rows than the 2*maxww margin
+    (96, 128, 97),      # single column tile, ragged valid extent
+])
+def test_pallas_adversarial_shapes_match_jnp(num_p, Lp, L):
+    """OOB regression guard for the fused kernels (round-2 verdict
+    next-step #10): shapes chosen so every tile's halo DMA clips against
+    the array bounds; any out-of-bounds ring read or mis-clamped DMA
+    offset breaks the required bit-exact agreement with the jnp scan.
+    (checkify cannot thread through the pallas interpreter's internal
+    scan, so the sweep relies on exact equality instead.)"""
+    rng = np.random.default_rng(num_p * 1000 + Lp)
+    raw = (rng.random((num_p, Lp)) < 0.5) * rng.poisson(5.0, (num_p, Lp))
+    raw = jnp.asarray(raw.astype(np.float32))
+    cband = raw * jnp.asarray(rng.random((num_p, Lp)), jnp.float32)
+    drow = jnp.arange(num_p)[:, None]
+    col = jnp.arange(Lp)[None, :]
+    eband = jnp.where((col < (L - drow)) & (drow >= 3), 1.3, 0.0
+                      ).astype(jnp.float32)
+    cand = (raw != 0) & (drow >= 3) & (col < (L - drow))
+
+    plan = tuple(poolplan.hiccups_pool_plan([1, 2], [3, 5], 10))
+    p_list = (1, 2)
+    allowed = jnp.ones(len(plan), bool)
+
+    want_a = scan_ops.scan_pass_a(raw, cand, plan, p_list, 8)
+    got_a = scan_pass_a_pallas(raw, cand, plan, p_list, 8, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_a), np.asarray(want_a))
+
+    _, _, want_b = scan_ops.scan_pass_b(raw, cband, eband, cand, allowed,
+                                        plan, p_list, 8)
+    got_b = scan_pass_b_pallas(raw, cband, eband, cand, allowed, plan,
+                               p_list, 8, interpret=True)
+    for p in p_list:
+        for t in range(4):
+            np.testing.assert_array_equal(np.asarray(got_b[p][t]),
+                                          np.asarray(want_b[p][t]),
+                                          err_msg=f'p={p} t={t}')
