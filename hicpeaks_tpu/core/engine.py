@@ -587,15 +587,17 @@ def _score_one(raw, cband, IR, Bprod, bSV, bEV, wi, cand, L, sig, gap_drop,
             n = int(cnt)
             if n <= cap:
                 d_idx, x_idx = d_idx[:n], x_idx[:n]
-                # float64 p from the compacted (O, E): scipy's sf is the
-                # reference's own evaluation (callers.py:540-541); the
-                # device's f32 gammainc served only the superset search.
-                # The global ranks are exact integer counts of the f32 p
-                # ordering — consistent with p64 up to f32 ties, under the
-                # BH suffix-min's own tie robustness.
+                # float64 p from the compacted (O, E), evaluated as
+                # 1 - cdf — the reference's own expression (callers.py:541),
+                # tail-saturation artifacts included; the device's f32
+                # gammainc served only the superset search.  The global
+                # ranks are exact integer counts of the f32 p ordering —
+                # consistent with p64 up to f32 ties, under the BH
+                # suffix-min's own tie robustness.
                 from scipy.stats import poisson as _poisson
-                p64 = _poisson.sf(np.floor(np.asarray(Ov[:n], np.float64)),
-                                  np.asarray(Ev[:n], np.float64))
+                p64 = 1.0 - _poisson.cdf(
+                    np.floor(np.asarray(Ov[:n], np.float64)),
+                    np.asarray(Ev[:n], np.float64))
                 q = score_ops.host_bh_complete(p64, rankv[:n], m, sig)
                 # exact f64 filter of the superset + the post-BH gap drop
                 fin = (q <= sig) & ~gapv[:n]
@@ -645,12 +647,13 @@ def _score_one(raw, cband, IR, Bprod, bSV, bEV, wi, cand, L, sig, gap_drop,
         qval_np = np.asarray(qval)
         pval_np = np.asarray(pval)
     else:
-        # float64 p over the valid pixels (scipy sf on the dense fetch —
-        # this is the rare fallback path), then exact f64 global BH
+        # float64 p over the valid pixels (1 - cdf, the reference's own
+        # expression, callers.py:541 — this is the rare fallback path),
+        # then exact f64 global BH
         from scipy.stats import poisson as _poisson
         v = np.asarray(valid)
         pval_np = np.ones(v.shape, np.float64)
-        pval_np[v] = _poisson.sf(
+        pval_np[v] = 1.0 - _poisson.cdf(
             np.floor(np.asarray(O, np.float64)[v]),
             np.asarray(Edense, np.float64)[v])
         qval_np = score_ops.host_bh(pval_np, cid, valid)

@@ -616,11 +616,15 @@ def host_chunk_qtab64(hist):
     """Exact float64 (chunk, count) BH q table from the integer histogram.
 
     The float64 twin of :func:`_chunk_qtab`: within a chunk every pixel's
-    p-value is ``poisson.sf(count; right_edge)`` (reference
-    callers.py:268-270 computes ``1 - Poisson(rv).cdf(O)``), so BH over the
-    chunk collapses onto the histogram; scipy's ``poisson.sf`` is the same
-    float64 evaluation the reference uses.  Returns (ptab, qtab), both
-    float64 [S, C]."""
+    p-value depends only on its integer count, so BH over the chunk
+    collapses onto the histogram.  The per-count p is evaluated as
+    ``1 - poisson.cdf(count; right_edge)`` — the reference's own float64
+    expression (callers.py:268-270), replicated VERBATIM rather than the
+    numerically superior ``poisson.sf``: at extreme tails ``1 - cdf``
+    saturates at ~1e-16 (catastrophic cancellation) where ``sf`` stays
+    accurate, and the emitted 3-sig-digit bedpe must match the
+    reference's bit-for-bit, artifacts included.  Returns (ptab, qtab),
+    both float64 [S, C]."""
     import numpy as np
     from scipy.stats import poisson as _poisson
     hist = np.asarray(hist, np.int64)
@@ -629,7 +633,7 @@ def host_chunk_qtab64(hist):
     rank_max = np.cumsum(hist[:, ::-1], axis=1)[:, ::-1].astype(np.float64)
     rv = np.power(2.0, (np.arange(S, dtype=np.float64) - 1.0) / 3.0)[:, None]
     counts = np.arange(C, dtype=np.float64)[None, :]
-    ptab = _poisson.sf(counts, rv)
+    ptab = 1.0 - _poisson.cdf(counts, rv)
     qraw = np.where(rank_max > 0,
                     np.minimum(ptab * m / np.maximum(rank_max, 1.0), 1.0),
                     2.0)

@@ -172,11 +172,13 @@ def test_host_chunk_complete_matches_f64_reference(sig):
     cid, rv, valid = (np.asarray(a) for a in lambda_chunks(
         jnp.asarray(E), jnp.asarray(scored)))
 
-    # f64 reference: per-chunk statsmodels BH on scipy f64 p-values
+    # f64 reference: per-chunk statsmodels BH on the reference's own
+    # p expression 1 - cdf (callers.py:268-270; NOT sf — at extreme
+    # tails they differ and the emitted file must match the reference)
     rv64 = np.power(2.0, (cid.astype(np.float64) - 1.0) / 3.0)
     p64_ref = np.ones(n)
-    p64_ref[valid] = sp_poisson.sf(np.floor(O[valid].astype(np.float64)),
-                                   rv64[valid])
+    p64_ref[valid] = 1.0 - sp_poisson.cdf(
+        np.floor(O[valid].astype(np.float64)), rv64[valid])
     q64_ref = np.ones(n)
     for c in np.unique(cid[valid]):
         sel = valid & (cid == c)

