@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Weak-scaling retention on 1..8 virtual CPU devices.
+
+The reference's only parallelism is fork-per-chromosome
+(scripts/pyHICCUPS:192-198); this framework's tile mesh shards ONE
+chromosome across devices (halo ppermute + psum'd freeze counts +
+sharded scoring).  Real pod hardware is unavailable here (one tunneled
+TPU chip), so scaling efficiency is measured the way the round-2
+verdict prescribed (next-step #6): grow the WORK with the device count
+— one fixed-size genome tile per device, L(n) = n * W — and compare
+each sharded run against the UNSHARDED engine on the *same* total size
+and the same physical cores:
+
+    retention(n) = wall_unsharded(L=n*W) / wall_sharded_n(L=n*W)
+
+Total compute capacity is constant (all virtual devices share the host
+cores), so a perfectly-overheadless sharding scores 1.0 regardless of
+problem size, and the ratio isolates exactly what sharding adds —
+collectives, halo duplication, per-shard padding — WITHOUT the
+shared-core contention that polluted the constant-work overhead
+artifact (SHARDING_OVERHEAD_r02: its n-device runs divide constant
+work among n programs timesharing the same cores, so program-count
+overheads scale up while per-program work shrinks below efficient
+sizes).  Peak tables are asserted identical between the sharded and
+unsharded runs at every size.
+
+Writes benchmarks/WEAK_SCALING_r03.json.
+
+Env knobs: WS_W (per-device bins, default 2048), WS_NUM (diagonals,
+default 128).
+"""
+import json
+import os
+import sys
+import time
+
+os.environ['JAX_PLATFORMS'] = 'cpu'
+flags = os.environ.get('XLA_FLAGS', '')
+if '--xla_force_host_platform_device_count' not in flags:
+    os.environ['XLA_FLAGS'] = (
+        flags + ' --xla_force_host_platform_device_count=8').strip()
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+OUT_PATH = os.path.join(HERE, 'WEAK_SCALING_r03.json')
+
+
+def log(msg):
+    print(f'[weak-scaling] {msg}', file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    jax.config.update('jax_platforms', 'cpu')
+    assert jax.default_backend() == 'cpu'
+
+    from hicpeaks_tpu.core import engine, flagship
+    from hicpeaks_tpu.core.config import HiccupsConfig
+    from hicpeaks_tpu.parallel.mesh import make_tile_mesh
+
+    W = int(os.environ.get('WS_W', 2048))
+    num = int(os.environ.get('WS_NUM', 128))
+
+    results = {}
+    for n in (1, 2, 4, 8):
+        L = n * W
+        bands = flagship.demo_inputs(L=L, num=num, dtype='float32')
+        cfg = HiccupsConfig(pw=(1, 2), ww=(3, 5), maxww=8,
+                            maxapart=100 * bands.res,
+                            min_marginal_peaks=2, min_local_reads=16)
+        n_cand = bands.candidate_total(3, 100)
+
+        def timed(fn):
+            fn()                                   # compile warm-up
+            ts = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                table = fn()
+                ts.append(time.perf_counter() - t0)
+            return min(ts), table
+
+        mesh = make_tile_mesh(n)
+        t_shard, tab_shard = timed(
+            lambda: engine.hiccups_chrom(bands, cfg, mesh=mesh))
+        t_flat, tab_flat = timed(
+            lambda: engine.hiccups_chrom(bands, cfg))
+        assert tab_shard == tab_flat, f'peak-table mismatch at n={n}'
+
+        retention = t_flat / t_shard
+        results[n] = {
+            'L': L, 'candidates': n_cand,
+            'sharded_s': round(t_shard, 3),
+            'unsharded_s': round(t_flat, 3),
+            'retention': round(retention, 3),
+            'px_per_s_sharded': round(n_cand / t_shard),
+            'peaks': len(tab_shard),
+        }
+        log(f'n={n} (L={L}): sharded {t_shard:.3f}s, unsharded '
+            f'{t_flat:.3f}s, retention {retention:.2f}, '
+            f'{len(tab_shard)} peaks identical')
+
+    out = {
+        'config': {'W_per_device': W, 'num': num, 'pw': [1, 2],
+                   'ww': [3, 5],
+                   'backend': 'cpu (8 virtual devices, shared cores)'},
+        'note': 'work grows with device count (L = n*W); retention = '
+                'unsharded wall / sharded wall at the same total size on '
+                'the same cores — 1.0 means sharding added nothing; peak '
+                'tables asserted identical sharded-vs-unsharded per size',
+        'results': results,
+    }
+    with open(OUT_PATH, 'w') as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == '__main__':
+    main()

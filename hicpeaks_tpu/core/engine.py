@@ -365,7 +365,7 @@ def _score_device_compact_multi(raw, cband, IR, Bprod, caps, cand, gap_drop,
 
 def _score_all_pairs(raw, cband, IR, Bprod, outs, pairs, cand, L, sig,
                      gap_drop, bh_backend, max_count, hist_backend='jnp',
-                     mesh=None):
+                     mesh=None, exact_ctx=None):
     """Fused scoring of every (p, w) pair in one device program + one host
     fetch.  Returns a list of (rK, rY) aligned with ``pairs`` (entries are
     None on keep-cap overflow), or None when the fused path does not
@@ -382,11 +382,13 @@ def _score_all_pairs(raw, cband, IR, Bprod, outs, pairs, cand, L, sig,
     # one bundled transfer of the stacked [n_pairs, ...] leaves
     fK_all, fY_all = _fetch((outK[:8], outY[:8]))
     results = []
-    for i in range(len(pairs)):
+    for i, (pi, _) in enumerate(pairs):
         rK = _compact_to_host(tuple(l[i] for l in fK_all), outK[8][i],
-                              _KEEP_CAP_FAST, sig=sig)
+                              _KEEP_CAP_FAST, sig=sig,
+                              exact=exact_ctx and (exact_ctx, pi, 'K'))
         rY = _compact_to_host(tuple(l[i] for l in fY_all), outY[8][i],
-                              _KEEP_CAP_FAST, sig=sig)
+                              _KEEP_CAP_FAST, sig=sig,
+                              exact=exact_ctx and (exact_ctx, pi, 'Y'))
         # an overflowing entry falls back to the per-pair scorer, which
         # retries at the hard cap
         results.append(None if rK is None or rY is None else (rK, rY))
@@ -469,14 +471,19 @@ def _bh_plan(chunked, bh_backend, max_count):
     return bh_backend, o_cap
 
 
-def _compact_to_host(fetched, prod, cap=_KEEP_CAP, sig=None):
+def _compact_to_host(fetched, prod, cap=_KEEP_CAP, sig=None, exact=None):
     """(cnt, idx..., stats...) device bundle -> host dict, or None on
     keep-cap overflow.
 
     With ``sig`` the bundle is the histogram form — (..., cid, hist)
     instead of (..., p, q) — from a chunked superset keep: exact float64
     p/q are completed from the integer histogram and the superset is
-    filtered with the true ``sig`` (ops/score.host_chunk_complete)."""
+    filtered with the true ``sig`` (ops/score.host_chunk_complete).
+
+    ``exact`` = (ExactCtx, p, kind) additionally recomputes E itself in
+    float64 on the host (ops/hostexact.py): chunk ids, Fold and ICE then
+    carry the reference's own float64 values instead of the device's
+    f32 pipeline — the emitted statistics' last f32 leak."""
     cnt, d_idx, x_idx, Ov, ICEv, Foldv, a7, a8 = fetched
     n = int(cnt)
     if n > cap:
@@ -485,6 +492,22 @@ def _compact_to_host(fetched, prod, cap=_KEEP_CAP, sig=None):
     if sig is None:
         return dict(x=x_idx, y=x_idx + d_idx, O=Ov[:n], ICE=ICEv[:n],
                     Fold=Foldv[:n], p=a7[:n], q=a8[:n], prod=prod)
+    if exact is not None:
+        from ..ops import hostexact
+        ctx, p_set, kind = exact
+        O64, E64, fold64, ice64 = hostexact.exact_stats(
+            ctx, d_idx, x_idx, p_set, kind)
+        cid64, valid64 = hostexact.chunk_ids64(E64, E64 > 0)
+        ptab, qtab = score_ops.host_chunk_qtab64(a8)
+        S, C = qtab.shape
+        oc = np.clip(np.floor(O64).astype(np.int64), 0, C - 1)
+        cs = np.clip(cid64, 0, S - 1)
+        p64 = np.where(valid64, ptab[cs, oc], 1.0)
+        q64 = np.where(valid64, qtab[cs, oc], 1.0)
+        fin = q64 <= sig
+        return dict(x=x_idx[fin], y=x_idx[fin] + d_idx[fin], O=O64[fin],
+                    ICE=ice64[fin], Fold=fold64[fin], p=p64[fin],
+                    q=q64[fin], prod=prod)
     p64, q64 = score_ops.host_chunk_complete(Ov[:n], a7[:n], a8)
     fin = q64 <= sig
     return dict(x=x_idx[fin], y=x_idx[fin] + d_idx[fin], O=Ov[:n][fin],
@@ -495,7 +518,7 @@ def _compact_to_host(fetched, prod, cap=_KEEP_CAP, sig=None):
 def _score_pair(raw, cband, IR, Bprod, KS, KE, YS, YE, wi, cand, L, sig,
                 gap_drop, bh_backend='auto', max_count=None,
                 caps=(_KEEP_CAP_FAST, _KEEP_CAP), hist_backend='jnp',
-                mesh=None):
+                mesh=None, exact_ctx=None, pi=None):
     """Fused scoring of both hiccups backgrounds in one device program +
     one host fetch.  Returns (rK, rY), or None when the fused device
     path does not apply (host BH, or keep-cap overflow) — the caller
@@ -510,8 +533,10 @@ def _score_pair(raw, cband, IR, Bprod, KS, KE, YS, YE, wi, cand, L, sig,
             wi=int(wi), L=int(L), chunked=True, o_cap=o_cap, keep_cap=cap,
             hist_backend=hist_backend, mesh=mesh)
         fK, fY = _fetch((outK[:8], outY[:8]))          # one bundled transfer
-        rK = _compact_to_host(fK, outK[8], cap, sig=sig)
-        rY = _compact_to_host(fY, outY[8], cap, sig=sig)
+        rK = _compact_to_host(fK, outK[8], cap, sig=sig,
+                              exact=exact_ctx and (exact_ctx, pi, 'K'))
+        rY = _compact_to_host(fY, outY[8], cap, sig=sig,
+                              exact=exact_ctx and (exact_ctx, pi, 'Y'))
         if rK is not None and rY is not None:
             return rK, rY
     return None
@@ -563,11 +588,13 @@ def _score_device_bhfdr_compact_checked(raw, cband, IR, Bprod, bSV, bEV,
 
 def _score_one(raw, cband, IR, Bprod, bSV, bEV, wi, cand, L, sig, gap_drop,
                chunked: bool, bh_backend='auto', max_count=None,
-               check=False, hist_backend='jnp', mesh=None):
+               check=False, hist_backend='jnp', mesh=None, exact=None):
     """Poisson scoring of one background; returns host-side kept-pixel
     arrays (x, y, O, ICE, Fold, p, q) plus the dense EM*ratio product.
     ``check=True`` routes through the checkify-instrumented program and
-    raises on any NaN/inf/OOB the instrumentation observes."""
+    raises on any NaN/inf/OOB the instrumentation observes.  ``exact`` =
+    (ExactCtx, p, kind) upgrades the compacted pixels' emitted statistics
+    to the reference's float64 values (ops/hostexact.py)."""
     bh_backend, o_cap = _bh_plan(chunked, bh_backend, max_count)
     if check:
         bh_backend = 'device'   # the instrumented program is the device one
@@ -595,15 +622,23 @@ def _score_one(raw, cband, IR, Bprod, bSV, bEV, wi, cand, L, sig, gap_drop,
                 # consistent with p64 up to f32 ties, under the BH
                 # suffix-min's own tie robustness.
                 from scipy.stats import poisson as _poisson
+                Ovn, ICEn, Foldn = Ov[:n], ICEv[:n], Foldv[:n]
+                E64 = np.asarray(Ev[:n], np.float64)
+                if exact is not None:
+                    # float64 E from exact ring-sum replay: the last f32
+                    # leak in the emitted stats (ops/hostexact.py)
+                    from ..ops import hostexact
+                    ctx, p_set, kind = exact
+                    Ovn, E64, Foldn, ICEn = hostexact.exact_stats(
+                        ctx, d_idx, x_idx, p_set, kind)
                 p64 = 1.0 - _poisson.cdf(
-                    np.floor(np.asarray(Ov[:n], np.float64)),
-                    np.asarray(Ev[:n], np.float64))
+                    np.floor(np.asarray(Ovn, np.float64)), E64)
                 q = score_ops.host_bh_complete(p64, rankv[:n], m, sig)
                 # exact f64 filter of the superset + the post-BH gap drop
                 fin = (q <= sig) & ~gapv[:n]
                 return dict(x=x_idx[fin], y=x_idx[fin] + d_idx[fin],
-                            O=Ov[:n][fin], ICE=ICEv[:n][fin],
-                            Fold=Foldv[:n][fin], p=p64[fin], q=q[fin],
+                            O=Ovn[fin], ICE=ICEn[fin],
+                            Fold=Foldn[fin], p=p64[fin], q=q[fin],
                             prod=out[11])
         # cap overflow (pathological siglevel/data): dense fallback below
         bh_backend = 'host'
@@ -625,7 +660,8 @@ def _score_one(raw, cband, IR, Bprod, bSV, bEV, wi, cand, L, sig, gap_drop,
             if n <= cap:
                 r = _compact_to_host(
                     fetched, out[8], cap,
-                    sig=sig if (chunked and o_cap is not None) else None)
+                    sig=sig if (chunked and o_cap is not None) else None,
+                    exact=exact if (chunked and o_cap is not None) else None)
                 assert r is not None
                 return r
         # cap overflow (pathological siglevel/data): dense fallback below
@@ -665,6 +701,22 @@ def _score_one(raw, cband, IR, Bprod, bSV, bEV, wi, cand, L, sig, gap_drop,
     take = lambda a: np.asarray(a)[d_idx, x_idx]
     return dict(x=x_idx, y=y_idx, O=take(O), ICE=take(ICE), Fold=take(Fold),
                 p=pval_np[d_idx, x_idx], q=qval_np[d_idx, x_idx], prod=prod)
+
+
+def _exact_ctx(bands, plan, allowed, thr):
+    """ExactCtx for float64 host completion of the compacted pixels'
+    emitted statistics, or None when the bands cannot serve it (legacy
+    bands lack the float64 vector copies).  Sharded multi-host bands
+    qualify through their per-host column spans (``raw_spans``): the
+    window-cell gather is reduced exactly across processes, so the
+    emitted statistics stay bit-identical at any process count."""
+    if getattr(bands, 'w064', None) is None:
+        return None
+    if not (isinstance(getattr(bands, 'raw', None), np.ndarray)
+            or getattr(bands, 'raw_spans', None) is not None):
+        return None
+    from ..ops.hostexact import ExactCtx
+    return ExactCtx(bands, plan, allowed, thr)
 
 
 def _count_pass(raw, cand, plan, p_list, thr, mesh, scan_backend):
@@ -765,9 +817,11 @@ def bhfdr_chrom(bands: ChromBands, cfg: BHFDRConfig, mesh=None,
                          (cfg.pw,), 16, mesh, scan_backend)
     KS, KE, _, _ = outs[cfg.pw]
 
+    ctx = _exact_ctx(bands, plan, decision.allowed, 16)
     r = _score_one(raw, cband, IR, Bprod, KS, KE, cfg.ww, cand, L,
                    cfg.siglevel, gap_drop, chunked=False,
-                   bh_backend=bh_backend, check=check)
+                   bh_backend=bh_backend, check=check,
+                   exact=ctx and (ctx, cfg.pw, 'K'))
 
     Donuts = {(int(x), int(y)): (float(o), float(f), float(p), float(q))
               for x, y, o, f, p, q in zip(r['x'], r['y'], r['O'], r['Fold'],
@@ -817,12 +871,13 @@ def hiccups_chrom(bands: ChromBands, cfg: HiccupsConfig, mesh=None,
 
     pairs = list(zip(pw, ww))
     hist_backend = _hist_plan(mesh, scan_backend)
+    ctx = _exact_ctx(bands, plan, decision.allowed, cfg.min_local_reads)
     multi = None
     if not check and len(pairs) > 1:
         multi = _score_all_pairs(raw, cband, IR, Bprod, outs, pairs, cand,
                                  L, cfg.siglevel, gap_drop, bh_backend,
                                  max_count, hist_backend=hist_backend,
-                                 mesh=mesh)
+                                 mesh=mesh, exact_ctx=ctx)
 
     pixel_table = {}
     for pair_idx, (pi, wi) in enumerate(pairs):
@@ -837,14 +892,16 @@ def hiccups_chrom(bands: ChromBands, cfg: HiccupsConfig, mesh=None,
                     raw, cband, IR, Bprod, KS, KE, YS, YE, wi, cand,
                     L, cfg.siglevel, gap_drop, bh_backend=bh_backend,
                     max_count=max_count, caps=(_KEEP_CAP,),
-                    hist_backend=hist_backend, mesh=mesh)
+                    hist_backend=hist_backend, mesh=mesh,
+                    exact_ctx=ctx, pi=pi)
         elif check:
             pair = None
         else:
             pair = _score_pair(
                 raw, cband, IR, Bprod, KS, KE, YS, YE, wi, cand,
                 L, cfg.siglevel, gap_drop, bh_backend=bh_backend,
-                max_count=max_count, hist_backend=hist_backend, mesh=mesh)
+                max_count=max_count, hist_backend=hist_backend, mesh=mesh,
+                exact_ctx=ctx, pi=pi)
         if pair is not None:
             rK, rY = pair
         else:
@@ -852,12 +909,12 @@ def hiccups_chrom(bands: ChromBands, cfg: HiccupsConfig, mesh=None,
                             cfg.siglevel, gap_drop, chunked=True,
                             bh_backend=bh_backend, max_count=max_count,
                             check=check, hist_backend=hist_backend,
-                            mesh=mesh)
+                            mesh=mesh, exact=ctx and (ctx, pi, 'K'))
             rY = _score_one(raw, cband, IR, Bprod, YS, YE, wi, cand, L,
                             cfg.siglevel, gap_drop, chunked=True,
                             bh_backend=bh_backend, max_count=max_count,
                             check=check, hist_backend=hist_backend,
-                            mesh=mesh)
+                            mesh=mesh, exact=ctx and (ctx, pi, 'Y'))
 
         first = rK['O'] if cfg.use_raw else rK['ICE']
         preDonuts = {(int(x), int(y)): (fi, o, f, p, q)

@@ -44,7 +44,12 @@ class ChromBands:
 
     def __init__(self, raw, IR, bias, w0, gap, L, num, res, chrom='',
                  ww_min=0, sparse=None, cband=None, nanw=None,
-                 cand_hist=None, max_count=None):
+                 cand_hist=None, max_count=None, IR64=None, bias64=None,
+                 w064=None):
+        self.IR64 = IR64        # [num_p] f64 pre-cast IR (host-exact
+                                # float64 statistics, ops/hostexact.py)
+        self.bias64 = bias64    # [Lp] f64 pre-cast 1/weight
+        self.w064 = w064        # [Lp] f64 pre-cast weight (invalid->0)
         self.max_count = max_count  # max raw count (engine o_cap planning;
                                     # None -> engine reads raw.max())
         self.cand_hist = cand_hist  # [num_p] GLOBAL nonzero-pixel counts
@@ -102,6 +107,34 @@ class ChromBands:
         return int(np.count_nonzero(ct))
 
 
+CSUM_BLOCK = 128   # canonical csum column-block width (see fold below)
+
+
+def blocked_csum(dd, b1, cvals, num_p, Lp):
+    """Per-(diagonal, 128-column-block) balanced partial sums.
+
+    Within a (d, block) cell, np.bincount accumulates in input (pixel)
+    order — bin1-ascending for cooler-sorted pixels — matching the native
+    builder's per-block loop and the sharded loader's per-span bincounts
+    exactly."""
+    nb = (Lp + CSUM_BLOCK - 1) // CSUM_BLOCK
+    key = dd * nb + (b1 // CSUM_BLOCK)
+    return np.bincount(key, weights=cvals,
+                       minlength=num_p * nb).reshape(num_p, nb)
+
+
+def fold_blocked_csum(blk):
+    """Left fold of the blocked partial sums — THE canonical per-diagonal
+    balanced sum.  Fixed 128-column blocks and a sequential left-to-right
+    fold make the result bit-identical across the numpy, native-C++ and
+    multi-host sharded loaders at any thread/process/mesh count (the
+    float64 host-exact statistics derive the expected model from it;
+    trailing all-zero padding blocks add +0.0 and change nothing)."""
+    if blk.shape[1] == 0:
+        return np.zeros(blk.shape[0])
+    return np.cumsum(blk, axis=1)[:, -1]
+
+
 def build_bands(bin1, bin2, count, weights, L, num, ww_min, res, chrom='',
                 dtype=np.float32, lane_pad=128, sublane_pad=8,
                 keep_sparse=True) -> ChromBands:
@@ -123,7 +156,9 @@ def build_bands(bin1, bin2, count, weights, L, num, ww_min, res, chrom='',
         native = band_build_native(bin1, bin2, count, w, L, num, num_p, Lp,
                                    ww_min, keep_sparse=keep_sparse)
     if native is not None:
-        raw, csum, nan_counts, colsum, sparse, cand_hist, max_count = native
+        raw, csum_blk, nan_counts, colsum, sparse, cand_hist, max_count = \
+            native
+        csum = fold_blocked_csum(csum_blk)
     else:
         d = (bin2 - bin1).astype(np.int64)
         sel = (d >= 0) & (d < num) & (bin1 >= 0) & (bin2 < L)
@@ -139,7 +174,7 @@ def build_bands(bin1, bin2, count, weights, L, num, ww_min, res, chrom='',
         # NaN-aware per-diagonal means over the true extent [0, L-d):
         # sums/counts via O(nnz) bincounts — no dense balanced band needed.
         nan_counts = np.bincount(dd[nanmask_vals], minlength=num_p)[:num_p]
-        csum = np.bincount(dd, weights=cvals, minlength=num_p)[:num_p]
+        csum = fold_blocked_csum(blocked_csum(dd, b1, cvals, num_p, Lp))
         in_rows = dd >= ww_min
         colsum = np.bincount(b1[in_rows], weights=cvals[in_rows],
                              minlength=Lp)[:Lp]
@@ -171,7 +206,7 @@ def build_bands(bin1, bin2, count, weights, L, num, ww_min, res, chrom='',
                       w0=w0.astype(dtype), gap=gap, L=L, num=num, res=res,
                       chrom=chrom, ww_min=ww_min, sparse=sparse,
                       nanw=nanw, cand_hist=np.asarray(cand_hist),
-                      max_count=max_count)
+                      max_count=max_count, IR64=IR, bias64=bias, w064=w0)
 
 
 def bands_from_cooler(clr, chrom, maxapart, maxww, ww_min, dtype=np.float32,

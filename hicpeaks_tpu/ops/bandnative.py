@@ -27,14 +27,15 @@ _f32p = ctypes.POINTER(ctypes.c_float)
 
 
 def _register(lib):
-    lib.band_build2.restype = ctypes.c_int64
-    lib.band_build2.argtypes = [
+    lib.band_build3.restype = ctypes.c_int64
+    lib.band_build3.argtypes = [
         _i64p, _i64p, _f64p, ctypes.c_int64,    # bin1, bin2, count, n
         _f64p,                                  # weights
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,  # L, num, num_p
         ctypes.c_int64, ctypes.c_int64,         # Lp, ww_min
+        ctypes.c_int64,                         # nb (csum blocks)
         _f32p, _f32p,                           # raw, staging
-        _f64p, _i64p, _f64p,                    # csum, nan, colsum
+        _f64p, _i64p, _f64p,                    # csum_blk, nan, colsum
         _i64p, _f64p,                           # cand_hist, out_max
         _i64p, _i64p, _f64p, _f64p,             # dd, b1, cvals, ct (nullable)
     ]
@@ -87,13 +88,16 @@ def _load_library():
 
 def band_build_native(bin1, bin2, count, weights, L, num, num_p, Lp, ww_min,
                       keep_sparse=True):
-    """-> (raw f32[num_p,Lp], csum f64[num_p], nan_counts i64[num_p],
-    colsum f64[Lp], sparse (dd, b1, cvals, ct) or None,
+    """-> (raw f32[num_p,Lp], csum_blk f64[num_p,nb], nan_counts
+    i64[num_p], colsum f64[Lp], sparse (dd, b1, cvals, ct) or None,
     cand_hist i64[num_p], max_count float) or None when the native
-    library is unavailable.  Semantics match the numpy path of
-    ops/band.build_bands; ``keep_sparse=False`` skips the COO output
-    copies (the production engine derives everything it needs from
-    ``cand_hist``/``max_count``)."""
+    library is unavailable (or the input is not bin1-sorted — the
+    canonical blocked csum requires it).  Semantics match the numpy path
+    of ops/band.build_bands: ``csum_blk`` holds per-(diagonal,
+    128-column-block) balanced partial sums for band.fold_blocked_csum;
+    ``keep_sparse=False`` skips the COO output copies (the production
+    engine derives everything it needs from ``cand_hist``/
+    ``max_count``)."""
     lib = _load_library()
     if lib is None:
         return None
@@ -102,9 +106,10 @@ def band_build_native(bin1, bin2, count, weights, L, num, num_p, Lp, ww_min,
     count = np.ascontiguousarray(count, np.float64)
     weights = np.ascontiguousarray(weights, np.float64)
     n = bin1.size
+    nb = (Lp + 127) // 128
     raw = np.zeros((num_p, Lp), np.float32)
     staging = np.zeros((Lp, num_p), np.float32)
-    csum = np.zeros(num_p, np.float64)
+    csum_blk = np.zeros((num_p, nb), np.float64)
     nan_counts = np.zeros(num_p, np.int64)
     colsum = np.zeros(Lp, np.float64)
     cand_hist = np.zeros(num_p, np.int64)
@@ -119,15 +124,16 @@ def band_build_native(bin1, bin2, count, weights, L, num, num_p, Lp, ww_min,
     else:
         dd_p = b1_p = ctypes.cast(None, _i64p)
         cv_p = ct_p = ctypes.cast(None, _f64p)
-    m = lib.band_build2(
+    m = lib.band_build3(
         bin1.ctypes.data_as(_i64p), bin2.ctypes.data_as(_i64p),
         count.ctypes.data_as(_f64p), n, weights.ctypes.data_as(_f64p),
-        L, num, num_p, Lp, ww_min,
+        L, num, num_p, Lp, ww_min, nb,
         raw.ctypes.data_as(_f32p), staging.ctypes.data_as(_f32p),
-        csum.ctypes.data_as(_f64p), nan_counts.ctypes.data_as(_i64p),
+        csum_blk.ctypes.data_as(_f64p), nan_counts.ctypes.data_as(_i64p),
         colsum.ctypes.data_as(_f64p), cand_hist.ctypes.data_as(_i64p),
         out_max.ctypes.data_as(_f64p), dd_p, b1_p, cv_p, ct_p)
     if m < 0:
         return None
     sparse = (dd[:m], b1[:m], cvals[:m], ct[:m]) if keep_sparse else None
-    return raw, csum, nan_counts, colsum, sparse, cand_hist, float(out_max[0])
+    return (raw, csum_blk, nan_counts, colsum, sparse, cand_hist,
+            float(out_max[0]))

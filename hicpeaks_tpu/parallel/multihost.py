@@ -127,7 +127,13 @@ def sharded_bands_from_cooler(clr, chrom, maxapart, maxww, ww_min, mesh,
     Lp = _round_up(max(L, 1), lane_pad)
     num_p = _round_up(max(num, 1), sublane_pad)
     n_tiles = mesh.devices.size
-    Lpm = _round_up(Lp, n_tiles)
+    # tile width a multiple of the canonical 128-column csum block
+    # (ops/band.CSUM_BLOCK): span boundaries then never split a block, so
+    # per-span blocked partials merge by placement — exactly — and the
+    # folded csum/IR is bit-identical to the single-host loaders at any
+    # mesh/process count (the float64 host-exact statistics need this)
+    from ..ops.band import CSUM_BLOCK, blocked_csum, fold_blocked_csum
+    Lpm = _round_up(Lp, n_tiles * CSUM_BLOCK)
 
     w = np.asarray(clr.weights(chrom, weight_name), np.float64)
 
@@ -165,11 +171,14 @@ def sharded_bands_from_cooler(clr, chrom, maxapart, maxww, ww_min, mesh,
 
     raw = jax.make_array_from_callback((num_p, Lpm), sharding, cb)
 
-    # O(num + L) partials -> exact global reductions (one allgather)
+    # O(num + L) partials -> exact global reductions (one allgather).
+    # Every partial merges EXACTLY: csum as per-128-column-block partials
+    # (each block owned by one process — placement, then the canonical
+    # left fold), colsum per column (single owner), nan/cand as integers.
     wprod = w[b1] * w[b1 + dd]
     nanmask = np.isnan(wprod)
     cvals = np.where(nanmask, 0.0, ct * wprod)
-    csum = np.bincount(dd, weights=cvals, minlength=num_p)[:num_p]
+    csum_blk = blocked_csum(dd, b1, cvals, num_p, Lpm)
     nan_counts = np.bincount(dd[nanmask], minlength=num_p)[:num_p]
     in_rows = dd >= ww_min
     colsum = np.bincount(b1[in_rows], weights=cvals[in_rows],
@@ -178,16 +187,19 @@ def sharded_bands_from_cooler(clr, chrom, maxapart, maxww, ww_min, mesh,
 
     max_count = float(ct.max()) if ct.size else 0.0
     if jax.process_count() > 1:
-        packed = np.concatenate([csum, nan_counts.astype(np.float64),
+        nb = csum_blk.shape[1]
+        packed = np.concatenate([csum_blk.ravel(),
+                                 nan_counts.astype(np.float64),
                                  colsum, cand.astype(np.float64),
                                  [max_count]])
         rows = np.asarray(multihost_utils.process_allgather(packed))
         total = rows.sum(axis=0)
-        csum = total[:num_p]
-        nan_counts = total[num_p:2 * num_p]
-        colsum = total[2 * num_p:2 * num_p + Lpm]
-        cand = total[2 * num_p + Lpm:-1]
+        csum_blk = total[:num_p * nb].reshape(num_p, nb)
+        nan_counts = total[num_p * nb:num_p * nb + num_p]
+        colsum = total[num_p * nb + num_p:num_p * nb + num_p + Lpm]
+        cand = total[num_p * nb + num_p + Lpm:-1]
         max_count = float(rows[:, -1].max())
+    csum = fold_blocked_csum(csum_blk)
 
     diag_len = np.maximum(L - np.arange(num_p), 0)
     denom = diag_len - nan_counts
@@ -209,7 +221,12 @@ def sharded_bands_from_cooler(clr, chrom, maxapart, maxww, ww_min, mesh,
                        w0=w0.astype(dtype), gap=gap, L=L, num=num, res=res,
                        chrom=chrom.lstrip('chr'), ww_min=ww_min,
                        sparse=(dd, b1, cvals, ct), nanw=nanw,
-                       cand_hist=cand.astype(np.int64))
+                       cand_hist=cand.astype(np.int64),
+                       IR64=IR, bias64=bias, w064=w0)
     bands.max_count = max_count   # global, so the engine's o_cap/bh plan
                                   # never touches the sharded slab
+    bands.raw_spans = locals_     # this process's column spans, kept for
+                                  # the float64 host-exact statistics
+                                  # (ops/hostexact: per-host window cells
+                                  # + exact integer cross-process sum)
     return bands

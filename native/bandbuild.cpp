@@ -131,6 +131,169 @@ extern "C" int64_t band_build(
 //     needs neither (saves ~300MB of allocation+write at 1e7 pixels)
 // Caller contract: raw, staging, csum, nan_counts, colsum, cand_hist
 // pre-zeroed; staging is [Lp, num_p].  Returns n_selected (or -1).
+// band_build3: band_build2 with a CANONICAL per-diagonal balanced sum.
+//
+// band_build2's csum merges thread-local partials in thread order, so its
+// last-ulp value depends on the machine's thread count — and differs from
+// the numpy twin and from the multi-host sharded loader's cross-process
+// reduction.  That drift was invisible while the engine consumed a f32
+// cast, but the float64 host-exact statistics path (ops/hostexact.py)
+// derives the expected model from IR in f64, where it surfaced as
+// process-count-dependent output.  band_build3 instead emits per-
+// (diagonal, 128-column-block) partial sums csum_blk[num_p * nb]
+// (nb = ceil(Lp/128)); the caller folds blocks left-to-right (numpy
+// cumsum).  All three loaders (numpy, native, sharded multi-host) produce
+// bit-identical folds because
+//   * within a (d, block) cell, values accumulate in b1-ascending pixel
+//     order (the input must be bin1-sorted; verified, else returns -1 and
+//     the caller falls back to numpy), and
+//   * thread ranges are aligned to 128-column block boundaries, so each
+//     block (and each column of colsum) has exactly one writer — partials
+//     merge by placement, which is exact.
+// Same contract as band_build2 otherwise; csum_blk pre-zeroed.
+extern "C" int64_t band_build3(
+    const int64_t* bin1, const int64_t* bin2, const double* count, int64_t n,
+    const double* weights, int64_t L, int64_t num, int64_t num_p, int64_t Lp,
+    int64_t ww_min, int64_t nb, float* raw, float* staging, double* csum_blk,
+    int64_t* nan_counts, double* colsum, int64_t* cand_hist, double* out_max,
+    int64_t* out_dd, int64_t* out_b1, double* out_cvals, double* out_ct) {
+  if (n < 0 || L <= 0 || num <= 0 || num_p < num || Lp < L) return -1;
+  if (nb < (Lp + 127) / 128) return -1;
+
+  unsigned hw = std::thread::hardware_concurrency();
+  int64_t n_threads = hw ? static_cast<int64_t>(hw) : 4;
+  if (n_threads > 16) n_threads = 16;
+  if (n_threads < 1) n_threads = 1;
+  int64_t chunk = (n + n_threads - 1) / n_threads;
+  if (chunk < 1) chunk = 1;
+  bool want_out = out_dd != nullptr;
+
+  auto selected = [&](int64_t i) -> bool {
+    int64_t b1 = bin1[i], b2 = bin2[i];
+    int64_t d = b2 - b1;
+    return d >= 0 && d < num && b1 >= 0 && b2 < L;
+  };
+
+  // block-aligned thread ranges: advance each boundary until the bin1
+  // block id changes, so no 128-column block straddles two threads
+  std::vector<int64_t> bnd(n_threads + 1, 0);
+  bnd[n_threads] = n;
+  for (int64_t t = 1; t < n_threads; ++t) {
+    int64_t i = std::min(n, t * chunk);
+    while (i > 0 && i < n && (bin1[i] >> 7) == (bin1[i - 1] >> 7)) ++i;
+    bnd[t] = std::max(i, bnd[t - 1]);
+  }
+
+  // phase 1: sortedness check (+ per-range selected counts if wanted)
+  std::vector<int64_t> slice_counts(n_threads, 0);
+  std::vector<char> sorted_l(n_threads, 1);
+  {
+    std::vector<std::thread> ts;
+    for (int64_t t = 0; t < n_threads; ++t) {
+      ts.emplace_back([&, t] {
+        int64_t lo = bnd[t], hi = bnd[t + 1];
+        int64_t c = 0;
+        char ok = 1;
+        for (int64_t i = lo; i < hi; ++i) {
+          if (i > 0 && bin1[i] < bin1[i - 1]) ok = 0;
+          c += selected(i) ? 1 : 0;
+        }
+        sorted_l[t] = ok;
+        slice_counts[t] = c;
+      });
+    }
+    for (auto& th : ts) th.join();
+  }
+  for (int64_t t = 0; t < n_threads; ++t)
+    if (!sorted_l[t]) return -1;   // caller falls back to the numpy twin
+  std::vector<int64_t> offsets(n_threads + 1, 0);
+  for (int64_t t = 0; t < n_threads; ++t)
+    offsets[t + 1] = offsets[t] + slice_counts[t];
+
+  // phase 2: transposed scatter; csum_blk/colsum written DIRECTLY (block
+  // and column ownership is per-thread), nan/hist thread-local (integer
+  // merges are exact in any order)
+  std::vector<std::vector<int64_t>> nan_l(n_threads), hist_l(n_threads);
+  std::vector<double> max_l(n_threads, 0.0);
+  {
+    std::vector<std::thread> ts;
+    for (int64_t t = 0; t < n_threads; ++t) {
+      ts.emplace_back([&, t] {
+        nan_l[t].assign(num_p, 0);
+        hist_l[t].assign(num_p, 0);
+        int64_t lo = bnd[t], hi = bnd[t + 1];
+        int64_t o = offsets[t];
+        double mx = 0.0;
+        for (int64_t i = lo; i < hi; ++i) {
+          if (!selected(i)) continue;
+          int64_t b1 = bin1[i], b2 = bin2[i];
+          int64_t d = b2 - b1;
+          double ct = count[i];
+          staging[b1 * num_p + d] = static_cast<float>(ct);
+          if (ct > mx) mx = ct;
+          if (ct != 0.0) hist_l[t][d] += 1;
+          double wp = weights[b1] * weights[b2];
+          double cval;
+          if (std::isnan(wp)) {
+            nan_l[t][d] += 1;
+            cval = 0.0;
+          } else {
+            cval = ct * wp;
+            csum_blk[d * nb + (b1 >> 7)] += cval;
+            if (d >= ww_min) colsum[b1] += cval;
+          }
+          if (want_out) {
+            out_dd[o] = d;
+            out_b1[o] = b1;
+            out_cvals[o] = cval;
+            out_ct[o] = ct;
+            ++o;
+          }
+        }
+        max_l[t] = mx;
+      });
+    }
+    for (auto& th : ts) th.join();
+  }
+
+  double mx = 0.0;
+  for (int64_t t = 0; t < n_threads; ++t) {
+    for (int64_t d = 0; d < num_p; ++d) {
+      nan_counts[d] += nan_l[t][d];
+      cand_hist[d] += hist_l[t][d];
+    }
+    if (max_l[t] > mx) mx = max_l[t];
+  }
+  if (out_max) *out_max = mx;
+
+  // phase 3: blocked transpose staging[x, d] -> raw[d, x] (band_build2)
+  {
+    const int64_t TB = 64;
+    int64_t n_dblk = (num + TB - 1) / TB;
+    int64_t per = (n_dblk + n_threads - 1) / n_threads;
+    std::vector<std::thread> ts;
+    for (int64_t t = 0; t < n_threads; ++t) {
+      ts.emplace_back([&, t] {
+        int64_t blo = t * per, bhi = std::min(n_dblk, (t + 1) * per);
+        for (int64_t bd = blo; bd < bhi; ++bd) {
+          int64_t d0 = bd * TB, d1 = std::min(num, d0 + TB);
+          for (int64_t x0 = 0; x0 < L; x0 += TB) {
+            int64_t x1 = std::min(L, x0 + TB);
+            for (int64_t d = d0; d < d1; ++d) {
+              float* dst = raw + d * Lp;
+              const float* src = staging + d;
+              for (int64_t x = x0; x < x1; ++x)
+                dst[x] = src[x * num_p];
+            }
+          }
+        }
+      });
+    }
+    for (auto& th : ts) th.join();
+  }
+  return offsets[n_threads];
+}
+
 extern "C" int64_t band_build2(
     const int64_t* bin1, const int64_t* bin2, const double* count, int64_t n,
     const double* weights, int64_t L, int64_t num, int64_t num_p, int64_t Lp,

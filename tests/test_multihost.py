@@ -186,9 +186,10 @@ def test_two_process_per_host_ingestion(two_chrom_cooler, tmp_path):
     assert not assembled[:, Lp:].any()
 
     for pl in payloads:
-        # cross-process partial-sum order shifts IR by ~1e-16 relative
-        np.testing.assert_allclose(np.asarray(pl['IR']), host.IR,
-                                   rtol=1e-12, equal_nan=True)
+        # canonical blocked csum (ops/band.fold_blocked_csum): the reduced
+        # IR is BIT-identical to the single-host loader's at any process
+        # count — the float64 host-exact statistics rest on this
+        np.testing.assert_array_equal(np.asarray(pl['IR']), host.IR)
         np.testing.assert_array_equal(
             np.asarray(pl['gap'][:Lp], bool), host.gap)
         assert pl['nnz'] == host.nnz()

@@ -233,6 +233,50 @@ def test_hiccups_formatted_bedpe_matches_reference(ref, synth):
     assert lines_got == lines_want
 
 
+def test_formatted_bedpe_matches_reference_f32_engine(ref, synth):
+    """The PRODUCTION dtype: engine runs on float32 bands (the TPU
+    pipeline) and the formatted bedpe must still match the float64
+    reference string-for-string — this is what ops/hostexact.py buys
+    (float64 host recomputation of E/Fold/ICE for the compacted pixels;
+    before it, deep-tail p/q were seeded by f32 background sums and
+    drifted up to 27% relative)."""
+    from hicpeaks_tpu.io.peakfile import write_bhfdr_bedpe, \
+        write_hiccups_bedpe
+
+    clr, _ = synth
+    res = clr.binsize
+    cfg = BHFDRConfig(pw=1, ww=3, maxww=10, siglevel=0.05, maxapart=2000000)
+    d = prepare_sparse(clr, '21', cfg.maxapart, cfg.maxww, cfg.ww)
+    want = ref.callers.bhfdr(d['M'], d['cM'], d['B'], d['B'], d['IR'],
+                             d['chromLen'], d['Diags'], d['cDiags'],
+                             d['num'], '21', pw=cfg.pw, ww=cfg.ww,
+                             sig=cfg.siglevel, maxww=cfg.maxww,
+                             maxapart=cfg.maxapart, res=res)
+    bands = bands_from_cooler(clr, '21', cfg.maxapart, cfg.maxww, cfg.ww,
+                              dtype=np.float32)
+    got = engine.bhfdr_chrom(bands, cfg)
+    assert _format_lines(write_bhfdr_bedpe, '21', res, got) == \
+        _format_lines(write_bhfdr_bedpe, '21', res, want)
+
+    hcfg = HiccupsConfig(pw=(1, 2), ww=(3, 5), maxww=8, siglevel=0.05,
+                         sumq=0.01, maxapart=2000000, min_marginal_peaks=2,
+                         min_local_reads=16, only_anchors=False)
+    d = prepare_sparse(clr, '21', hcfg.maxapart, hcfg.maxww, 3)
+    want = ref.callers.hiccups(d['M'], d['cM'], d['B'], d['B'], d['IR'],
+                               d['chromLen'], d['Diags'], d['cDiags'],
+                               d['num'], '21', pw=[1, 2], ww=[3, 5],
+                               maxww=8, sig=0.05, sumq=0.01,
+                               double_fold=1.75, single_fold=2,
+                               maxapart=2000000, res=res,
+                               min_marginal_peaks=2, onlyanchor=False,
+                               min_local_reads=16)
+    bands = bands_from_cooler(clr, '21', hcfg.maxapart, hcfg.maxww, 3,
+                              dtype=np.float32)
+    got = engine.hiccups_chrom(bands, hcfg)
+    assert _format_lines(write_hiccups_bedpe, '21', res, got) == \
+        _format_lines(write_hiccups_bedpe, '21', res, want)
+
+
 @pytest.mark.parametrize('pw,ww,maxww', [
     ((1,), (3,), 8),
     ((1, 2), (3, 5), 8),    # multi-p: the incremental-accumulation drift path
