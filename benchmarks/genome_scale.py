@@ -22,8 +22,10 @@ import time
 
 import numpy as np
 
-OUT_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        'GENOME_SCALE_r02.json')
+OUT_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    'GENOME_SCALE_r03_multipair.json'
+    if os.environ.get('GS_MULTIPAIR') else 'GENOME_SCALE_r03.json')
 
 
 def log(msg):
