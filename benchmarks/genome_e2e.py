@@ -26,7 +26,7 @@ import time
 import numpy as np
 
 HERE = os.path.dirname(os.path.abspath(__file__))
-OUT_PATH = os.path.join(HERE, 'GENOME_E2E_r02.json')
+OUT_PATH = os.path.join(HERE, 'GENOME_E2E_r03.json')
 
 
 def log(msg):
