@@ -11,7 +11,7 @@ Two rounds: round 0 = compile+run, round 1 = steady state.  Also attempts
 a jax.profiler trace of the steady round (best-effort: the device is
 remote, so the trace may cover host/dispatch only).
 
-Writes benchmarks/STAGE_PROFILE_r02.json.
+Writes benchmarks/STAGE_PROFILE_r03.json.
 
 Env knobs: SP_L (default 24900), SP_TIMEOUT, SP_BACKEND, SP_TRACE=1.
 """
@@ -23,7 +23,7 @@ import time
 import numpy as np
 
 HERE = os.path.dirname(os.path.abspath(__file__))
-OUT_PATH = os.path.join(HERE, 'STAGE_PROFILE_r02.json')
+OUT_PATH = os.path.join(HERE, 'STAGE_PROFILE_r03.json')
 
 
 def log(msg):

@@ -7,6 +7,8 @@ moves to the controller for the reference's set-logic post-processing
 clustering — callers.py:319-362/579-590)."""
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -18,44 +20,81 @@ from .clustering import local_clustering
 from .config import BHFDRConfig, HiccupsConfig
 
 
+class _SlabEnc(NamedTuple):
+    """Row-classed lossless slab transfer encoding: ``parts[i]`` carries a
+    contiguous row range packed at ``bits[i]`` bits per count (16/8 are
+    plain uint16/uint8 rows; 4/2 pack 2/4 adjacent columns per byte)."""
+    parts: tuple
+    bits: tuple
+
+
+_SLAB_WIDTHS = (16, 8, 4, 2)
+
+
+def _pack_rows(rows, bits):
+    """Pack uint16 count rows at ``bits`` bits per count (lossless for
+    counts < 2**bits).  Byte j of a packed row holds original columns
+    j*per + k at bit offset bits*k (k < per = 8//bits) — the exact
+    inverse of ops/score._unpack_rows' shift/mask/stack."""
+    if bits == 16:
+        return np.ascontiguousarray(rows)
+    if bits == 8:
+        return rows.astype(np.uint8)
+    per = 8 // bits
+    a = rows.astype(np.uint8)
+    out = np.zeros((a.shape[0], a.shape[1] // per), np.uint8)
+    for k in range(per):
+        out |= a[:, k::per] << (bits * k)
+    return out
+
+
 def _compact_slab(bands: ChromBands, split=True):
     """The raw slab in its cheapest lossless transfer encoding.
 
-    * uint16 when every count round-trips (integer Hi-C counts < 65536 —
-      half the bytes of float32), else the float slab itself;
-    * additionally, Hi-C counts fall off steeply with genomic distance,
-      so most diagonal rows of a deep band never reach 256: those tail
-      rows ship as uint8 — a (uint16 head, uint8 tail) pair split at a
-      64-row-bucketed boundary (bounding the compile count), nearly
-      halving the transfer again at genome scale, where the slab is the
-      steady per-chromosome cost floor (benchmarks/STAGE_PROFILE_r02).
+    * integer counts < 65536 round-trip (checked), else the float slab
+      ships as-is;
+    * Hi-C counts fall off steeply with genomic distance, so the deep
+      rows of a band never reach 256/16/4: rows are classed into uint16 /
+      uint8 / 4-bit / 2-bit ranges at 64-row-bucketed boundaries
+      (bounding the compile count) and sub-byte ranges pack 2 or 4
+      columns per byte — the slab transfer is the steady per-chromosome
+      cost floor on slow host links (benchmarks/STAGE_PROFILE_r03: 1.37s
+      of a 1.9s pipelined round through the ~40MB/s tunnel), and the far
+      rows of a genome-scale band are almost entirely 0/1/2 counts.
 
-    ``split=False`` (mesh / sharded callers, which need one contiguous
-    array to scatter) returns the single-array u16/float form."""
+    ``split=True`` returns a :class:`_SlabEnc`; ``split=False`` (mesh /
+    sharded callers, which need one contiguous array to scatter) returns
+    the single-array u16/float form."""
     raw_host = bands.raw
     if raw_host.dtype.kind != 'f':
         return raw_host
-    enc = getattr(bands, '_raw_u16', None)
+    enc = getattr(bands, '_raw_enc', None)
     if enc is None:
         enc = False
         if raw_host.size and 0.0 <= float(raw_host.max()) < 65536.0:
             candidate = raw_host.astype(np.uint16)
             # round-trip equality rejects non-integral and negative
-            # counts (both wrap/truncate), so u16 transfer is lossless
+            # counts (both wrap/truncate), so integer transfer is lossless
             if np.array_equal(candidate.astype(raw_host.dtype), raw_host):
-                enc = candidate
-                big = np.nonzero(candidate.max(axis=1) > 255)[0]
-                d0 = int(big[-1]) + 1 if big.size else 0
-                d0 = min(-(-d0 // 64) * 64, candidate.shape[0])
-                if d0 == 0:
-                    enc = candidate.astype(np.uint8)
-                elif d0 < candidate.shape[0]:
-                    enc = (np.ascontiguousarray(candidate[:d0]),
-                           candidate[d0:].astype(np.uint8))
-        bands._raw_u16 = enc
+                rowmax = candidate.max(axis=1)
+                n_rows = candidate.shape[0]
+                cuts = []
+                for b in _SLAB_WIDTHS[:-1]:   # boundary below each width
+                    big = np.nonzero(rowmax >= (1 << _SLAB_WIDTHS[
+                        _SLAB_WIDTHS.index(b) + 1]))[0]
+                    d = int(big[-1]) + 1 if big.size else 0
+                    cuts.append(min(-(-d // 64) * 64, n_rows))
+                cuts = [0] + cuts + [n_rows]
+                parts, bits = [], []
+                for b, lo, hi in zip(_SLAB_WIDTHS, cuts[:-1], cuts[1:]):
+                    if hi > lo:
+                        parts.append(_pack_rows(candidate[lo:hi], b))
+                        bits.append(b)
+                enc = _SlabEnc(tuple(parts), tuple(bits))
+        bands._raw_enc = enc
     if enc is False:
         return raw_host
-    if not split and isinstance(enc, tuple):
+    if not split:
         full = getattr(bands, '_raw_u16_full', None)
         if full is None:
             full = raw_host.astype(np.uint16)
@@ -65,10 +104,17 @@ def _compact_slab(bands: ChromBands, split=True):
 
 
 def _to_device_slab(enc):
-    """Host slab encoding -> device array(s) (tuple = split-row form)."""
-    if isinstance(enc, tuple):
-        return tuple(jnp.asarray(a) for a in enc)
+    """Host slab encoding -> device form (_SlabEnc parts go up as-is)."""
+    if isinstance(enc, _SlabEnc):
+        return _SlabEnc(tuple(jnp.asarray(a) for a in enc.parts), enc.bits)
     return jnp.asarray(enc)
+
+
+def _slab_args(enc):
+    """(raw_operand, bits_static) for ops/score.build_sheets_device."""
+    if isinstance(enc, _SlabEnc):
+        return enc.parts, enc.bits
+    return enc, None
 
 
 def stage_chrom_arrays(bands: ChromBands):
@@ -101,10 +147,12 @@ def _prep_chrom(bands: ChromBands, d_lo, d_hi, gap_s, mesh=None,
     if staged is not None and mesh is None:
         # transfers were issued ahead of time (api.py prefetch thread) so
         # they overlapped the previous chromosome's device compute
+        raw_op, bits = _slab_args(staged['raw'])
         raw, cband, eband, Bprod, gap_drop, cand = \
             score_ops.build_sheets_device(
-                staged['raw'], staged['w0'], staged['bias'], staged['IR'],
-                staged['gap'], bands.ww_min, bands.L, d_lo, d_hi, gap_s)
+                raw_op, staged['w0'], staged['bias'], staged['IR'],
+                staged['gap'], bands.ww_min, bands.L, d_lo, d_hi, gap_s,
+                bits=bits)
         return raw, cband, eband, staged['IR'], Bprod, gap_drop, cand
     if mesh is not None and hasattr(bands.raw, 'sharding'):
         # tile-sharded global array from parallel.multihost.
@@ -148,10 +196,12 @@ def _prep_chrom(bands: ChromBands, d_lo, d_hi, gap_s, mesh=None,
     else:
         raw_sh = None
         IR = jnp.asarray(bands.IR)
+    raw_op, bits = (_slab_args(_to_device_slab(raw_host))
+                    if raw_sh is None else (raw_sh, None))
     raw, cband, eband, Bprod, gap_drop, cand = score_ops.build_sheets_device(
-        _to_device_slab(raw_host) if raw_sh is None else raw_sh,
-        jnp.asarray(bands.w0), jnp.asarray(bands.bias), IR,
-        jnp.asarray(bands.gap), bands.ww_min, bands.L, d_lo, d_hi, gap_s)
+        raw_op, jnp.asarray(bands.w0), jnp.asarray(bands.bias), IR,
+        jnp.asarray(bands.gap), bands.ww_min, bands.L, d_lo, d_hi, gap_s,
+        bits=bits)
     if mesh is not None:
         from ..parallel.tiles import shard_band
         raw, cband, eband, Bprod, gap_drop, cand = (

@@ -54,8 +54,24 @@ def bias_product_host(bias, num_p):
     return np.ascontiguousarray(By * b[None, :])
 
 
+def _unpack_rows(a, bits):
+    """Inverse of engine._pack_rows: sub-byte packed count rows -> f32.
+
+    Byte j holds original columns j*per + k at bit offset bits*k; the
+    shift/mask/stack/reshape chain is pure elementwise + a trailing-axis
+    collapse — no gathers (the tunneled runtime here rejects scatter /
+    take_along_axis programs, docs/ROADMAP.md Robustness)."""
+    if bits is None or bits >= 8:
+        return a.astype(jnp.float32)
+    per = 8 // bits
+    mask = (1 << bits) - 1
+    segs = [(a >> (bits * k)) & mask for k in range(per)]
+    x = jnp.stack(segs, axis=-1)
+    return x.reshape(a.shape[0], a.shape[1] * per).astype(jnp.float32)
+
+
 def build_sheets_device(raw, w0, bias, IR, gap, ww_min, L, d_lo, d_hi,
-                        gap_s):
+                        gap_s, bits=None):
     """Jitted device-side derivation of every dense sheet the engine needs
     from one raw slab + O(L) vectors.
 
@@ -82,19 +98,25 @@ def build_sheets_device(raw, w0, bias, IR, gap, ww_min, L, d_lo, d_hi,
     """
     if isinstance(raw, (tuple, list)):
         raw = tuple(raw)
+        if bits is None:
+            bits = (None,) * len(raw)
     return _build_sheets_jit(raw, w0, bias, IR, gap, ww_min=int(ww_min),
                              L=int(L), d_lo=int(d_lo), d_hi=int(d_hi),
-                             gap_s=int(gap_s))
+                             gap_s=int(gap_s),
+                             bits=tuple(bits) if bits is not None else None)
 
 
 @functools.partial(jax.jit, static_argnames=('ww_min', 'L', 'd_lo',
-                                             'd_hi', 'gap_s'))
+                                             'd_hi', 'gap_s', 'bits'))
 def _build_sheets_jit(raw, w0, bias, IR, gap, ww_min, L, d_lo, d_hi,
-                      gap_s):
+                      gap_s, bits=None):
     if isinstance(raw, tuple):
-        # split-row transfer encoding: concatenate back to one slab on
-        # device (the cast + concat fuses into the consumers)
-        raw = jnp.concatenate([r.astype(jnp.float32) for r in raw], axis=0)
+        # row-classed transfer encoding: unpack each row range and
+        # concatenate back to one slab on device (the cast + concat fuses
+        # into the consumers)
+        raw = jnp.concatenate(
+            [_unpack_rows(r, b) for r, b in zip(raw, bits)], axis=0) \
+            if len(raw) > 1 else _unpack_rows(raw[0], bits[0])
     num_p, Lp = raw.shape
     drow = jnp.arange(num_p)[:, None]
     col = jnp.arange(Lp)[None, :]

@@ -162,10 +162,11 @@ def test_u16_slab_transfer_decision_and_parity():
     assert bands.raw.dtype.kind == 'f'
     out_f = [np.asarray(a) for a in
              engine._prep_chrom(bands, bands.ww_min, 50, bands.ww_min)]
-    # counts are integral < 256 everywhere -> the pure-uint8 form
-    assert getattr(bands, '_raw_u16') is not False
-    assert bands._raw_u16.dtype == np.uint8
-    # device raw is float32 regardless of transfer dtype
+    # counts are integral < 256 everywhere -> sub-uint16 row classes only
+    enc = getattr(bands, '_raw_enc')
+    assert isinstance(enc, engine._SlabEnc)
+    assert 16 not in enc.bits
+    # device raw is float32 regardless of transfer encoding
     assert out_f[0].dtype == np.float32
     np.testing.assert_array_equal(out_f[0][:, :bands.raw.shape[1]],
                                   bands.raw.astype(np.float32))
@@ -174,33 +175,52 @@ def test_u16_slab_transfer_decision_and_parity():
     bands2, _ = _random_chrom(5)
     bands2.raw = bands2.raw * 1.5
     engine._prep_chrom(bands2, bands2.ww_min, 50, bands2.ww_min)
-    assert bands2._raw_u16 is False
+    assert bands2._raw_enc is False
 
     # values >= 65536 must fall back too
     bands3, _ = _random_chrom(6)
     bands3.raw[bands3.raw > 0] += 70000.0
     engine._prep_chrom(bands3, bands3.ww_min, 50, bands3.ww_min)
-    assert bands3._raw_u16 is False
+    assert bands3._raw_enc is False
+
+
+def _decode_enc(enc, n_cols):
+    """Host twin of ops/score._unpack_rows over a _SlabEnc."""
+    rows = []
+    for part, b in zip(enc.parts, enc.bits):
+        if b >= 8:
+            rows.append(part.astype(np.float32))
+            continue
+        per = 8 // b
+        mask = (1 << b) - 1
+        out = np.zeros((part.shape[0], part.shape[1] * per), np.float32)
+        for k in range(per):
+            out[:, k::per] = (part >> (b * k)) & mask
+        rows.append(out)
+    got = np.concatenate(rows, axis=0)
+    assert got.shape[1] == n_cols
+    return got
 
 
 def test_split_row_slab_transfer_parity():
-    """Counts >= 256 on the near diagonals select the (uint16 head,
-    uint8 tail) split form; the device rebuild and the mesh-facing
-    contiguous form must both reproduce the float32 slab exactly."""
+    """Counts >= 256 on the near diagonals select a uint16 head class;
+    the quiet tail rows pack at 8/4/2 bits per count.  The device rebuild
+    and the mesh-facing contiguous form must both reproduce the float32
+    slab exactly."""
     from hicpeaks_tpu.core import engine
 
     bands, _ = _random_chrom(7, num=200)
     # hot near-diagonal rows, quiet tail — the genome-scale count shape
     bands.raw[:3][bands.raw[:3] > 0] += 500.0
     enc = engine._compact_slab(bands)
-    assert isinstance(enc, tuple)
-    head, tail = enc
-    assert head.dtype == np.uint16 and tail.dtype == np.uint8
-    assert head.shape[0] == 64          # 64-row bucketed boundary
-    assert head.shape[0] + tail.shape[0] == bands.raw.shape[0]
-    rebuilt = np.concatenate([head.astype(np.float32),
-                              tail.astype(np.float32)], axis=0)
-    np.testing.assert_array_equal(rebuilt, bands.raw.astype(np.float32))
+    assert isinstance(enc, engine._SlabEnc)
+    assert enc.bits[0] == 16            # hot head rows
+    assert enc.bits == tuple(sorted(enc.bits, reverse=True))
+    assert enc.parts[0].dtype == np.uint16
+    assert enc.parts[0].shape[0] == 64  # 64-row bucketed boundary
+    assert sum(p.shape[0] for p in enc.parts) == bands.raw.shape[0]
+    np.testing.assert_array_equal(_decode_enc(enc, bands.raw.shape[1]),
+                                  bands.raw.astype(np.float32))
 
     # the mesh path needs one contiguous array (split=False)
     full = engine._compact_slab(bands, split=False)
@@ -214,9 +234,9 @@ def test_split_row_slab_transfer_parity():
     np.testing.assert_array_equal(out_f[0][:, :bands.raw.shape[1]],
                                   bands.raw.astype(np.float32))
 
-    # staged (prefetch-thread) form carries the split tuple
+    # staged (prefetch-thread) form carries the row-classed encoding
     engine.stage_chrom_arrays(bands)
-    assert isinstance(bands._staged['raw'], tuple)
+    assert isinstance(bands._staged['raw'], engine._SlabEnc)
     out_s = [np.asarray(a) for a in
              engine._prep_chrom(bands, bands.ww_min, 50, bands.ww_min)]
     np.testing.assert_array_equal(out_s[0], out_f[0])
