@@ -597,9 +597,18 @@ def _score_device_bhfdr_compact(raw, cband, IR, Bprod, bSV, bEV, cand,
                                 gap_drop, sig, wi, L, keep_cap):
     """Global-BH (bhfdr, callers.py:545) scoring with NO device sort and
     NO dense host fetch: the sort-free fixpoint keep superset
-    (ops/score.global_bh_keep), compaction, and per-pixel global ranks
-    (ops/score.rank_counts); the controller finishes exact float64 BH on
-    the <= keep_cap compacted pixels (ops/score.host_bh_complete)."""
+    (ops/score.global_bh_keep) and compaction; the controller finishes
+    exact float64 BH on the <= keep_cap compacted pixels
+    (ops/score.host_bh_complete).
+
+    The device emits no per-pixel ranks: every pixel with
+    ``p64 <= tau`` (the exact BH threshold) is inside the superset by
+    construction, so the float64 rank of any potentially-kept pixel —
+    ``#{j : p64_j <= p64_i}`` — is computable on the host from the
+    superset's own float64 p-values alone (a round-2 device pass counted
+    f32-ordered ranks over the full sheet, which both cost a
+    [keep_cap x pixels] compare-reduce and drifted from the reference's
+    float64 ordering at f32 ties)."""
     E, O, ICE, Fold, scored, prod = score_ops.expected_observed(
         raw, cband, IR, Bprod, bSV, bEV, wi, cand, L)
     pval = jnp.where(scored, score_ops.poisson_sf(O, E), 1.0)
@@ -613,8 +622,7 @@ def _score_device_bhfdr_compact(raw, cband, IR, Bprod, bSV, bEV, cand,
     cnt, d_idx, x_idx = score_ops.compact_mask(keep_sup, keep_cap)
     g = lambda a: a[d_idx, x_idx]
     p_small = g(pval)
-    ranks = score_ops.rank_counts(pval, scored, p_small)
-    return (cnt, d_idx, x_idx, g(O), g(ICE), g(Fold), p_small, g(E), ranks,
+    return (cnt, d_idx, x_idx, g(O), g(ICE), g(Fold), p_small, g(E),
             m, g(gap_drop), prod)
 
 
@@ -659,18 +667,15 @@ def _score_one(raw, cband, IR, Bprod, bSV, bEV, wi, cand, L, sig, gap_drop,
                 out = _score_device_bhfdr_compact(
                     raw, cband, IR, Bprod, bSV, bEV, cand, gap_drop, sig,
                     wi=int(wi), L=int(L), keep_cap=cap)
-            cnt, d_idx, x_idx, Ov, ICEv, Foldv, pv, Ev, rankv, m, gapv = \
-                _fetch(out[:11])
+            cnt, d_idx, x_idx, Ov, ICEv, Foldv, pv, Ev, m, gapv = \
+                _fetch(out[:10])
             n = int(cnt)
             if n <= cap:
                 d_idx, x_idx = d_idx[:n], x_idx[:n]
                 # float64 p from the compacted (O, E), evaluated as
                 # 1 - cdf — the reference's own expression (callers.py:541),
                 # tail-saturation artifacts included; the device's f32
-                # gammainc served only the superset search.  The global
-                # ranks are exact integer counts of the f32 p ordering —
-                # consistent with p64 up to f32 ties, under the BH
-                # suffix-min's own tie robustness.
+                # gammainc served only the superset search.
                 from scipy.stats import poisson as _poisson
                 Ovn, ICEn, Foldn = Ov[:n], ICEv[:n], Foldv[:n]
                 E64 = np.asarray(Ev[:n], np.float64)
@@ -683,13 +688,22 @@ def _score_one(raw, cband, IR, Bprod, bSV, bEV, wi, cand, L, sig, gap_drop,
                         ctx, d_idx, x_idx, p_set, kind)
                 p64 = 1.0 - _poisson.cdf(
                     np.floor(np.asarray(Ovn, np.float64)), E64)
-                q = score_ops.host_bh_complete(p64, rankv[:n], m, sig)
+                # exact float64 global ranks from the superset alone:
+                # #{j: p64_j <= p64_i} counts only superset members for
+                # every pixel with p64 <= tau (any such j has
+                # p64_j <= p64_i <= tau, hence is itself in the superset —
+                # see global_bh_keep); superset pixels above tau may read
+                # an undercount, but their raw BH terms then only grow,
+                # and no term above tau can determine a kept pixel's q
+                p_sorted = np.sort(p64, kind='stable')
+                ranks64 = np.searchsorted(p_sorted, p64, side='right')
+                q = score_ops.host_bh_complete(p64, ranks64, m, sig)
                 # exact f64 filter of the superset + the post-BH gap drop
                 fin = (q <= sig) & ~gapv[:n]
                 return dict(x=x_idx[fin], y=x_idx[fin] + d_idx[fin],
                             O=Ovn[fin], ICE=ICEn[fin],
                             Fold=Foldn[fin], p=p64[fin], q=q[fin],
-                            prod=out[11])
+                            prod=out[10])
         # cap overflow (pathological siglevel/data): dense fallback below
         bh_backend = 'host'
     if bh_backend == 'device':
