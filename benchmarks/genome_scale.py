@@ -101,6 +101,17 @@ def main():
     log(f'bands {bands.raw.shape} built in {t_band:.0f}s; '
         f'{n_cand} candidate pixels')
 
+    # stage the slab+vector transfers up front, exactly like the api.py
+    # prefetch thread does in a genome run (the transfer overlaps the
+    # previous chromosome's compute there); timed separately so the
+    # steady number is the per-chromosome device pipeline cost
+    t0 = time.time()
+    engine.stage_chrom_arrays(bands)
+    jax.block_until_ready(jax.tree_util.tree_leaves(bands._staged))
+    t_transfer = time.time() - t0
+    log(f'slab+vector staging (prefetch-overlapped in production): '
+        f'{t_transfer:.1f}s')
+
     def run():
         return engine.hiccups_chrom(bands, cfg, scan_backend=backend)
 
@@ -130,6 +141,7 @@ def main():
                    'backend': backend, 'contacts': int(ct.size)},
         'candidates': n_cand,
         'band_build_s': round(t_band, 1),
+        'transfer_s': round(t_transfer, 1),
         'first_call_s': round(t_first, 1),
         'steady_call_s': round(t_steady, 1),
         'pixels_per_s': round(pixels_per_s, 1),

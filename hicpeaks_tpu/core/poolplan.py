@@ -116,6 +116,83 @@ def emulate_freeze_hiccups(plan, counts_new, total, ww) -> FreezeDecision:
     return FreezeDecision(allowed, frozen_w)
 
 
+def left_threshold(total: int) -> int:
+    """Exact integer threshold for ``left_ratio < 0.03``: with
+    ``ini = total - frozen_so_far``, the reference's float comparison
+    ``ini / total < 0.03`` (total > 0) is the rational ``100*ini <
+    3*total``, i.e. ``ini <= ceil(3*total/100) - 1``.  Computed on the
+    host in exact Python ints so the device emulation (a 32-bit scalar
+    compare) reproduces the float64 branch bit-for-bit; ``total == 0``
+    makes the ratio 0.0 < 0.03 unconditionally true, encoded as INT32_MAX.
+
+    Exactness: 0.03 has no finite binary expansion, so float64
+    ``ini/total < 0.03`` could in principle disagree with the rational
+    form when ini/total is within 1 ulp of 0.03.  ``ini/total`` is a
+    ratio of ints <= 2^31, and the nearest double to 0.03 is ~8.7e-19
+    above 3/100; a rational p/q with q < 2^31 inside that gap would need
+    |p/q - 3/100| < 8.7e-19, impossible since |100p - 3q|/(100q) >=
+    1/(100*2^31) ~ 4.7e-12 when 100p != 3q (and equality means exact
+    3/100, on the correct strict side of both forms)."""
+    if total <= 0:
+        return (1 << 31) - 1
+    return -(-3 * total // 100) - 1
+
+
+def device_allowed_hiccups(counts_new, total, t_left, plan, ww):
+    """jnp twin of :func:`emulate_freeze_hiccups` returning the per-entry
+    ``allowed`` gate as a traced bool vector — lets the whole chromosome
+    (pass A, freeze bookkeeping, pass B, scoring) run as ONE device
+    program with no controller round trip between the passes.
+
+    All comparisons are integer-exact (see :func:`left_threshold`;
+    ``n_new/ini < 0.3`` is ``10*n_new < 3*ini``, products bounded by
+    10*total — callers must ensure ``10*total < 2**31``), so the traced
+    gate is bit-identical to the host replay on the same counts; the
+    controller re-runs :func:`emulate_freeze_hiccups` on the fetched
+    counts and asserts agreement."""
+    import jax.numpy as jnp
+    max_ww = max(ww)
+    max_w = max(e.w for e in plan)
+    frozen_w = jnp.int32(max_w)
+    total = jnp.asarray(total, jnp.int32)
+    t_left = jnp.asarray(t_left, jnp.int32)
+    ini = {}
+    allowed = []
+    for e in plan:
+        ok = jnp.int32(e.w) <= frozen_w
+        allowed.append(ok)
+        prev = ini.get(e.p, total)
+        n_new = jnp.where(ok, counts_new[e.index].astype(jnp.int32), 0)
+        # valid_ratio < 0.3 (nan when ini == 0 -> False)
+        v_lt = (prev > 0) & (10 * n_new < 3 * prev)
+        nxt = prev - n_new
+        l_lt = nxt <= t_left
+        if e.w >= max_ww:
+            frozen_w = jnp.where(ok & (v_lt | l_lt), jnp.int32(e.w),
+                                 frozen_w)
+        ini[e.p] = jnp.where(ok, nxt, prev)
+    return jnp.stack(allowed)
+
+
+def device_allowed_bhfdr(counts_new, total, t_left, plan):
+    """jnp twin of :func:`emulate_freeze_bhfdr` (plain breaks, no
+    w >= max(ww) gate) with the same integer-exact comparisons."""
+    import jax.numpy as jnp
+    total = jnp.asarray(total, jnp.int32)
+    t_left = jnp.asarray(t_left, jnp.int32)
+    ini = total
+    broke = jnp.asarray(False)
+    allowed = []
+    for e in plan:
+        ok = ~broke
+        allowed.append(ok)
+        n_new = jnp.where(ok, counts_new[e.index].astype(jnp.int32), 0)
+        v_lt = (ini > 0) & (10 * n_new < 3 * ini)
+        ini = jnp.where(ok, ini - n_new, ini)
+        broke = broke | (ok & (v_lt | (ini <= t_left)))
+    return jnp.stack(allowed)
+
+
 def emulate_freeze_bhfdr(plan, counts_new, total) -> FreezeDecision:
     """callers.py:505-511 — plain breaks, no w >= max(ww) gate."""
     allowed = []
