@@ -140,43 +140,36 @@ def main():
     log(f'capture pass ({backend}) compiled+ran in {time.time() - t0:.1f}s')
 
     # --- stage 3: the whole pipeline as ONE jitted program returning only
-    # small outputs.  Every array is an argument (closure capture embeds
-    # them as HLO constants and constant-folding multiplies compile time);
-    # a scalar chain serializes iterations so the async tunneled runtime
-    # cannot overlap or dedupe identical executions; no eager ops in the
-    # loop (each eager op is a remote-compile round trip).  Sheet
-    # derivation (balanced/expected bands, bias product, gap windows,
-    # candidates) is inside the program — the production per-chromosome
-    # step, minus host transfer/post-processing. ---
+    # small outputs — the PRODUCTION per-chromosome program
+    # (engine._fused_hiccups_device: sheets, pass A, the on-device freeze
+    # emulation, pass B, fused compact scorers), minus host
+    # transfer/post-processing.  Every array is an argument (closure
+    # capture embeds them as HLO constants and constant-folding multiplies
+    # compile time); a scalar chain serializes iterations so the async
+    # tunneled runtime cannot overlap or dedupe identical executions; no
+    # eager ops in the loop (each eager op is a remote-compile round
+    # trip). ---
+    from hicpeaks_tpu.core import poolplan as poolplan_mod
+    total = int(n_cand)
+    t_left = poolplan_mod.left_threshold(total)
+    scan_impl = backend if backend in ('pallas', 'jnp') else 'jnp'
+
     @jax.jit
     def full(eps, raw, w0, bias, IR, gap, allowed):
-        raw_i = raw + eps
-        raw_i, cband, eband, Bprod, gap_drop, cand = score_ops.build_sheets_device(
-            raw_i, w0, bias, IR, gap, min(ww), bands.L, min(ww),
-            maxapart // res, min(ww))
-        if backend == 'pallas':
-            counts = scan_pass_a_pallas(raw_i, cand, plan, p_list, 16)
-            outs2 = scan_pass_b_pallas(raw_i, cband, eband, cand, allowed,
-                                       plan, p_list, 16)
-        else:
-            counts = scan_ops.scan_pass_a(raw_i, cand, plan, p_list, 16)
-            outs2 = scan_ops.scan_pass_b(raw_i, cband, eband, cand, allowed,
-                                         plan, p_list, 16)[2]
-        KS, KE, YS, YE = outs2[pw[0]]
-        acc = counts.sum().astype(jnp.float32)
-        n_keep = jnp.int32(0)
-        for bSV, bEV in ((KS, KE), (YS, YE)):
-            # the production compact scorer: threshold-form histogram BH
-            # decides keep densely; p/q/stats are computed only for the
-            # compacted pixels (engine._compact_one)
-            out = engine_mod._compact_one(
-                raw_i, cband, IR, Bprod, bSV, bEV, cand, gap_drop,
-                jnp.float32(0.05), ww[0], bands.L, True, o_cap,
-                engine_mod._KEEP_CAP_FAST,
-                engine_mod._hist_plan(None, backend))
-            n_keep = n_keep + out[0]
-            acc = acc + out[7].sum().astype(jnp.float32) \
-                + out[6].sum().astype(jnp.float32)
+        del allowed   # the production program derives the gate on device
+        counts, allowed_d, outK, outY = engine_mod._fused_hiccups_device(
+            raw + eps, w0, bias, IR, gap, jnp.float32(0.05),
+            jnp.int32(total), jnp.int32(t_left),
+            plan=plan, p_list=p_list, thr=16, ww_t=tuple(ww),
+            wis=tuple(zip(pw, ww)), ww_min=min(ww), L=int(bands.L),
+            d_lo=min(ww), d_hi=maxapart // res, gap_s=min(ww), o_cap=o_cap,
+            keep_cap=engine_mod._KEEP_CAP_FAST,
+            hist_backend=engine_mod._hist_plan(None, backend), bits=None,
+            scan_impl=scan_impl)
+        n_keep = outK[0].sum() + outY[0].sum()
+        acc = (counts.sum().astype(jnp.float32)
+               + outK[3].sum().astype(jnp.float32)
+               + outY[3].sum().astype(jnp.float32))
         return acc * 0.0, n_keep
 
     args = (raw, w0, bias, IR, gap, allowed)

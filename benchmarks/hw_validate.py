@@ -167,6 +167,11 @@ def main():
                          'capture tensors, both (pw,ww) pairs, asserted '
                          'in validate mode on hardware)',
         'validate_wall_s': round(t_validate, 1),
+        'note': 'the *_vs_host_bh rows compare the PRODUCTION device path '
+                'against the bh_backend=host debugging fallback, whose '
+                'emitted statistics intentionally stay on the f32 dense '
+                'pipeline — loci_equal is the meaningful check there; '
+                'production-vs-float64-truth is the *_f32_vs_f64 rows',
         'device_vs_host_bh': {'loci_equal': bool(bh_loci_equal),
                               'max_rel_stat_diff': bh_max_rel},
         'bhfdr_fixpoint_vs_host_bh': {'loci_equal': bool(bfix_loci_equal),

@@ -273,9 +273,27 @@ _BH_SLACK = 0.01   # chunk_bh_keep superset inflation: covers the f32
                    # boundary so the device keep mask is a superset of the
                    # float64 rejection set (ops/score.chunk_bh_keep)
 
+_SUS_CAP = 1 << 15   # lambda-chunk edge suspects per background (fast
+                     # tier; the hard-cap retry lifts it with keep_cap).
+                     # At the provable margin (~7e-4 of pixels) a 25M-px
+                     # genome chromosome carries ~18K suspects.
+
+
+def _chunk_margin(plan):
+    """Provable |t_f32 - t_f64| bound for t = 3*log2(E) (see
+    ops/score.lambda_suspects): E's f32 relative error is bounded by the
+    cancellation-free ring accumulation (<= cells nonneg adds per
+    background sum, each cell itself a 2-product) plus the
+    ratio/EM/Bprod arithmetic, dt = 3/ln2 * relE; the trailing pad covers
+    the f32 log evaluation (~2 ulps at |t| <= 128)."""
+    maxw = max(e.w for e in plan)
+    cells = (2 * maxw + 1) ** 2
+    return 3.0 / 0.6931471805599453 * (3 * cells + 8) * 2.0 ** -24 + 5e-5
+
 
 def _compact_one(raw, cband, IR, Bprod, bSV, bEV, cand, gap_drop, sig, wi,
-                 L, chunked, o_cap, keep_cap, hist_backend='jnp', mesh=None):
+                 L, chunked, o_cap, keep_cap, hist_backend='jnp', mesh=None,
+                 exact_mode=False, sus_cap=_SUS_CAP, margin=0.0):
     """Traced body shared by the single- and pair-background compact
     scorers.  ``hist_backend`` selects the (chunk, count) histogram
     implementation (ops/score._chunk_qtab): the fused Pallas kernel off
@@ -287,10 +305,24 @@ def _compact_one(raw, cband, IR, Bprod, bSV, bEV, cand, gap_drop, sig, wi,
     controller finishes p/q in float64 and filters with the true ``sig``
     (ops/score.host_chunk_complete) — so the emitted statistics are the
     reference's float64 values, not f32 ``gammainc`` approximations (the
-    round-2 verdict's 27%-relative tail drift)."""
+    round-2 verdict's 27%-relative tail drift).
+
+    ``exact_mode`` (only meaningful with a host ExactCtx available)
+    additionally compacts the lambda-chunk edge SUSPECTS — pixels whose
+    f32 chunk membership is not provably the float64 one
+    (ops/score.lambda_suspects, ``margin`` from :func:`_chunk_margin`) —
+    excludes them from the device keep set, and ships their
+    (d, x, cid, count, gap) so the controller can correct the integer
+    histogram in float64 and decide their keep/stats exactly
+    (the round-3 residual: a boundary pixel in the wrong chunk shifts
+    that chunk's m/ranks by one, hence every q in it by ~1/m).
+
+    Returns a 10-tuple; slot 9 is the suspect bundle (an empty tuple when
+    ``exact_mode`` is off)."""
     E, O, ICE, Fold, scored, prod = score_ops.expected_observed(
         raw, cband, IR, Bprod, bSV, bEV, wi, cand, L)
     pval = qval = None
+    sus_bundle = ()
     if chunked:
         cid, rv, valid = score_ops.lambda_chunks(E, scored)
         if o_cap is not None:
@@ -301,7 +333,7 @@ def _compact_one(raw, cband, IR, Bprod, bSV, bEV, cand, gap_drop, sig, wi,
             # costs of the scoring program at genome scale) runs over the
             # full sheet; p/q for the <= keep_cap compacted pixels are
             # finished in float64 on the host from the histogram
-            keep_q, _qtab, hist = score_ops.chunk_bh_keep(
+            keep_q, _qtab, hist, thr = score_ops.chunk_bh_keep(
                 O, cid, valid, sig, o_cap=o_cap, hist_backend=hist_backend,
                 slack=_BH_SLACK, mesh=mesh)
         else:
@@ -314,6 +346,14 @@ def _compact_one(raw, cband, IR, Bprod, bSV, bEV, cand, gap_drop, sig, wi,
                                       valid)
     if qval is None:
         keep = scored & keep_q & ~gap_drop
+        if exact_mode:
+            sus = score_ops.lambda_suspects(E, scored, margin)
+            keep = keep & ~sus
+            cnt_s, d_s, x_s = score_ops.compact_mask(sus, sus_cap)
+            gs = lambda a: a[d_s, x_s]
+            cid_s = jnp.where(gs(valid), gs(cid), 0)
+            O_s = jnp.clip(jnp.floor(gs(O)), 0, o_cap).astype(jnp.int32)
+            sus_bundle = (cnt_s, d_s, x_s, cid_s, O_s, gs(gap_drop), thr)
     else:
         keep = scored & (qval <= sig) & ~gap_drop
     cnt, d_idx, x_idx = score_ops.compact_mask(keep, keep_cap)
@@ -321,17 +361,19 @@ def _compact_one(raw, cband, IR, Bprod, bSV, bEV, cand, gap_drop, sig, wi,
     if pval is None:
         cid_g = jnp.where(g(valid), g(cid), 0)
         return (cnt, d_idx, x_idx,
-                g(O), g(ICE), g(Fold), cid_g, hist, prod)
+                g(O), g(ICE), g(Fold), cid_g, hist, prod, sus_bundle)
     return (cnt, d_idx, x_idx,
-            g(O), g(ICE), g(Fold), g(pval), g(qval), prod)
+            g(O), g(ICE), g(Fold), g(pval), g(qval), prod, sus_bundle)
 
 
 @functools.partial(jax.jit, static_argnames=('wi', 'L', 'chunked', 'o_cap',
                                              'keep_cap', 'hist_backend',
-                                             'mesh'))
+                                             'mesh', 'exact_mode', 'sus_cap',
+                                             'margin'))
 def _score_device_compact(raw, cband, IR, Bprod, bSV, bEV, cand, gap_drop,
                           sig, wi, L, chunked, o_cap=None,
-                          keep_cap=_KEEP_CAP, hist_backend='jnp', mesh=None):
+                          keep_cap=_KEEP_CAP, hist_backend='jnp', mesh=None,
+                          exact_mode=False, sus_cap=_SUS_CAP, margin=0.0):
     """Device-BH scoring that compacts the kept pixels on device.
 
     Dense [num_p, Lp] sheets never cross to the host (on tunneled TPU
@@ -342,7 +384,8 @@ def _score_device_compact(raw, cband, IR, Bprod, bSV, bEV, cand, gap_drop,
     postcheck, served by :func:`_gather_pairs`."""
     return _compact_one(raw, cband, IR, Bprod, bSV, bEV, cand, gap_drop,
                         sig, wi, L, chunked, o_cap, keep_cap, hist_backend,
-                        mesh)
+                        mesh, exact_mode=exact_mode, sus_cap=sus_cap,
+                        margin=margin)
 
 
 @functools.partial(jax.jit, static_argnames=('wi', 'L', 'chunked', 'o_cap',
@@ -369,31 +412,37 @@ def _score_device_compact_checked(raw, cband, IR, Bprod, bSV, bEV, cand,
 
 @functools.partial(jax.jit, static_argnames=('wi', 'L', 'chunked', 'o_cap',
                                              'keep_cap', 'hist_backend',
-                                             'mesh'))
+                                             'mesh', 'exact_mode', 'sus_cap',
+                                             'margin'))
 def _score_device_compact_pair(raw, cband, IR, Bprod, KS, KE, YS, YE, cand,
                                gap_drop, sig, wi, L, chunked, o_cap=None,
                                keep_cap=_KEEP_CAP, hist_backend='jnp',
-                               mesh=None):
+                               mesh=None, exact_mode=False,
+                               sus_cap=_SUS_CAP, margin=0.0):
     """Both backgrounds (donut 'K' and lower-left 'Y', callers.py:319-339)
     scored in ONE program: XLA shares the iota/valid/candidate
     subexpressions and the host pays a single dispatch + fetch round trip
     per (p, w) pair instead of two."""
     outK = _compact_one(raw, cband, IR, Bprod, KS, KE, cand, gap_drop,
                         sig, wi, L, chunked, o_cap, keep_cap, hist_backend,
-                        mesh)
+                        mesh, exact_mode=exact_mode, sus_cap=sus_cap,
+                        margin=margin)
     outY = _compact_one(raw, cband, IR, Bprod, YS, YE, cand, gap_drop,
                         sig, wi, L, chunked, o_cap, keep_cap, hist_backend,
-                        mesh)
+                        mesh, exact_mode=exact_mode, sus_cap=sus_cap,
+                        margin=margin)
     return outK, outY
 
 
 @functools.partial(jax.jit, static_argnames=('L', 'chunked', 'o_cap',
                                              'keep_cap', 'hist_backend',
-                                             'mesh'))
+                                             'mesh', 'exact_mode', 'sus_cap',
+                                             'margin'))
 def _score_device_compact_multi(raw, cband, IR, Bprod, caps, cand, gap_drop,
                                 sig, wis, L, chunked, o_cap=None,
                                 keep_cap=_KEEP_CAP, hist_backend='jnp',
-                                mesh=None):
+                                mesh=None, exact_mode=False,
+                                sus_cap=_SUS_CAP, margin=0.0):
     """Every (p, w) pair's two backgrounds scored in ONE program: the
     multi-parameter union (callers.py:132-232,345-349) then costs a single
     dispatch + fetch round trip per chromosome instead of one per pair.
@@ -416,10 +465,12 @@ def _score_device_compact_multi(raw, cband, IR, Bprod, caps, cand, gap_drop,
         KSi, KEi, YSi, YEi, wi = xs
         outK = _compact_one(raw, cband, IR, Bprod, KSi, KEi, cand, gap_drop,
                             sig, wi, L, chunked, o_cap, keep_cap,
-                            hist_backend, mesh)
+                            hist_backend, mesh, exact_mode=exact_mode,
+                            sus_cap=sus_cap, margin=margin)
         outY = _compact_one(raw, cband, IR, Bprod, YSi, YEi, cand, gap_drop,
                             sig, wi, L, chunked, o_cap, keep_cap,
-                            hist_backend, mesh)
+                            hist_backend, mesh, exact_mode=exact_mode,
+                            sus_cap=sus_cap, margin=margin)
         return None, (outK, outY)
 
     _, (outK, outY) = jax.lax.scan(body, None, (KS, KE, YS, YE, wis_t))
@@ -450,11 +501,13 @@ def _scan_calls(scan_impl):
 
 @functools.partial(jax.jit, static_argnames=(
     'plan', 'p_list', 'thr', 'ww_t', 'wis', 'ww_min', 'L', 'd_lo', 'd_hi',
-    'gap_s', 'o_cap', 'keep_cap', 'hist_backend', 'bits', 'scan_impl'))
+    'gap_s', 'o_cap', 'keep_cap', 'hist_backend', 'bits', 'scan_impl',
+    'exact_mode', 'sus_cap', 'margin'))
 def _fused_hiccups_device(raw_op, w0, bias, IR, gap, sig, total, t_left,
                           plan, p_list, thr, ww_t, wis, ww_min, L, d_lo,
                           d_hi, gap_s, o_cap, keep_cap, hist_backend, bits,
-                          scan_impl):
+                          scan_impl, exact_mode=False, sus_cap=_SUS_CAP,
+                          margin=0.0):
     """The WHOLE per-chromosome hiccups device pipeline as ONE program:
     sheet derivation, freeze-count pass, the controller's early-stop
     bookkeeping (poolplan.device_allowed_hiccups — integer-exact, so it
@@ -475,7 +528,8 @@ def _fused_hiccups_device(raw_op, w0, bias, IR, gap, sig, total, t_left,
     outK, outY = _score_device_compact_multi(
         raw, cband, IR, Bprod, caps, cand, gap_drop, sig,
         wis=tuple(w for _, w in wis), L=L, chunked=True,
-        o_cap=o_cap, keep_cap=keep_cap, hist_backend=hist_backend)
+        o_cap=o_cap, keep_cap=keep_cap, hist_backend=hist_backend,
+        exact_mode=exact_mode, sus_cap=sus_cap, margin=margin)
     return counts, allowed, outK, outY
 
 
@@ -503,7 +557,7 @@ def _fused_bhfdr_device(raw_op, w0, bias, IR, gap, sig, total, t_left,
 
 def _score_all_pairs(raw, cband, IR, Bprod, outs, pairs, cand, L, sig,
                      gap_drop, bh_backend, max_count, hist_backend='jnp',
-                     mesh=None, exact_ctx=None):
+                     mesh=None, exact_ctx=None, margin=0.0):
     """Fused scoring of every (p, w) pair in one device program + one host
     fetch.  Returns a list of (rK, rY) aligned with ``pairs`` (entries are
     None on keep-cap overflow), or None when the fused path does not
@@ -512,21 +566,24 @@ def _score_all_pairs(raw, cband, IR, Bprod, outs, pairs, cand, L, sig,
     if backend != 'device' or o_cap is None:
         return None
     caps = tuple(tuple(outs[pi]) for pi, _ in pairs)
+    exact_mode = exact_ctx is not None and mesh is None
     outK, outY = _score_device_compact_multi(
         raw, cband, IR, Bprod, caps, cand, gap_drop, sig,
         wis=tuple(int(wi) for _, wi in pairs), L=int(L), chunked=True,
         o_cap=o_cap, keep_cap=_KEEP_CAP_FAST, hist_backend=hist_backend,
-        mesh=mesh)
+        mesh=mesh, exact_mode=exact_mode, margin=margin)
     # one bundled transfer of the stacked [n_pairs, ...] leaves
-    fK_all, fY_all = _fetch((outK[:8], outY[:8]))
+    fK_all, sK, fY_all, sY = _fetch((outK[:8], outK[9], outY[:8], outY[9]))
     results = []
     for i, (pi, _) in enumerate(pairs):
-        rK = _compact_to_host(tuple(l[i] for l in fK_all), outK[8][i],
+        rK = _compact_to_host(tuple(l[i] for l in fK_all), (outK[8], i),
                               _KEEP_CAP_FAST, sig=sig,
-                              exact=exact_ctx and (exact_ctx, pi, 'K'))
-        rY = _compact_to_host(tuple(l[i] for l in fY_all), outY[8][i],
+                              exact=exact_ctx and (exact_ctx, pi, 'K'),
+                              sus=tuple(l[i] for l in sK) if sK else None)
+        rY = _compact_to_host(tuple(l[i] for l in fY_all), (outY[8], i),
                               _KEEP_CAP_FAST, sig=sig,
-                              exact=exact_ctx and (exact_ctx, pi, 'Y'))
+                              exact=exact_ctx and (exact_ctx, pi, 'Y'),
+                              sus=tuple(l[i] for l in sY) if sY else None)
         # an overflowing entry falls back to the per-pair scorer, which
         # retries at the hard cap
         results.append(None if rK is None or rY is None else (rK, rY))
@@ -538,6 +595,25 @@ def _gather_pairs(a, d_idx, x_idx):
     """Tiny device gather for postcheck lookups into a resident dense
     array (index arrays are padded to bucketed sizes by the caller)."""
     return a[d_idx, x_idx]
+
+
+@jax.jit
+def _gather_pairs3(a, i, d_idx, x_idx):
+    """Postcheck gather into a [n_pairs, num, Lp] stacked resident array.
+    The multi-pair scorers keep ``prod`` stacked and defer the pair slice
+    to here: most chromosomes have an empty postcheck, and an eager
+    ``prod[i]`` would cost one device dispatch per (pair, background) —
+    4 round trips per chromosome on remote links."""
+    return a[i, d_idx, x_idx]
+
+
+def _gather_prod(prod, d_idx, x_idx):
+    """Dispatch the right postcheck gather for a plain or (stacked, pair)
+    ``prod`` handle."""
+    if isinstance(prod, tuple):
+        stacked, i = prod
+        return _gather_pairs3(stacked, jnp.int32(i), d_idx, x_idx)
+    return _gather_pairs(prod, d_idx, x_idx)
 
 
 def _fetch(tree):
@@ -609,7 +685,8 @@ def _bh_plan(chunked, bh_backend, max_count):
     return bh_backend, o_cap
 
 
-def _compact_to_host(fetched, prod, cap=_KEEP_CAP, sig=None, exact=None):
+def _compact_to_host(fetched, prod, cap=_KEEP_CAP, sig=None, exact=None,
+                     sus=None):
     """(cnt, idx..., stats...) device bundle -> host dict, or None on
     keep-cap overflow.
 
@@ -621,7 +698,13 @@ def _compact_to_host(fetched, prod, cap=_KEEP_CAP, sig=None, exact=None):
     ``exact`` = (ExactCtx, p, kind) additionally recomputes E itself in
     float64 on the host (ops/hostexact.py): chunk ids, Fold and ICE then
     carry the reference's own float64 values instead of the device's
-    f32 pipeline — the emitted statistics' last f32 leak."""
+    f32 pipeline.  ``sus`` (the fetched suspect bundle from
+    engine._compact_one's exact mode) closes the last f32 leak: the
+    integer histogram is corrected for lambda-chunk edge suspects whose
+    float64 chunk differs from the f32 one, the suspects' keep/stats are
+    decided host-side from the corrected float64 table, and the device's
+    count thresholds are audited against that table (any potentially
+    missed non-suspect pixel -> None, the caller falls back)."""
     cnt, d_idx, x_idx, Ov, ICEv, Foldv, a7, a8 = fetched
     n = int(cnt)
     if n > cap:
@@ -633,19 +716,70 @@ def _compact_to_host(fetched, prod, cap=_KEEP_CAP, sig=None, exact=None):
     if exact is not None:
         from ..ops import hostexact
         ctx, p_set, kind = exact
+        hist64 = np.asarray(a8, np.int64)
+        S, C = hist64.shape
+        sus_data = None
+        if sus:
+            ns = int(sus[0])
+            if ns > sus[1].shape[0]:
+                return None          # suspect-cap overflow: caller retries
+            ds, xs = sus[1][:ns], sus[2][:ns]
+            cid_dev = np.asarray(sus[3][:ns], np.int64)
+            O_s = np.asarray(sus[4][:ns], np.int64)
+            gap_s = np.asarray(sus[5][:ns], bool)
+            thr_dev = np.asarray(sus[6], np.int64)
+            O64s, E64s, fold64s, ice64s = hostexact.exact_stats(
+                ctx, ds, xs, p_set, kind)
+            cid64s, valid64s = hostexact.chunk_ids64(E64s, E64s > 0)
+            cid_new = np.where(valid64s, np.clip(cid64s, 0, S - 1), 0)
+            # move each suspect from its device (chunk, count) cell to its
+            # float64 one (row 0 = the invalid trash row, both ways)
+            np.add.at(hist64, (cid_dev, O_s), -1)
+            np.add.at(hist64, (cid_new, O_s), 1)
+            sus_data = (ds, xs, cid_new, O_s, gap_s, O64s, fold64s,
+                        ice64s, valid64s, thr_dev)
         O64, E64, fold64, ice64 = hostexact.exact_stats(
             ctx, d_idx, x_idx, p_set, kind)
         cid64, valid64 = hostexact.chunk_ids64(E64, E64 > 0)
-        ptab, qtab = score_ops.host_chunk_qtab64(a8)
-        S, C = qtab.shape
+        ptab, qtab = score_ops.host_chunk_qtab64(hist64)
         oc = np.clip(np.floor(O64).astype(np.int64), 0, C - 1)
         cs = np.clip(cid64, 0, S - 1)
         p64 = np.where(valid64, ptab[cs, oc], 1.0)
         q64 = np.where(valid64, qtab[cs, oc], 1.0)
         fin = q64 <= sig
-        return dict(x=x_idx[fin], y=x_idx[fin] + d_idx[fin], O=O64[fin],
-                    ICE=ice64[fin], Fold=fold64[fin], p=p64[fin],
-                    q=q64[fin], prod=prod)
+        out = dict(x=x_idx[fin], y=x_idx[fin] + d_idx[fin], O=O64[fin],
+                   ICE=ice64[fin], Fold=fold64[fin], p=p64[fin],
+                   q=q64[fin], prod=prod)
+        if sus_data is not None:
+            (ds, xs, cid_new, O_s, gap_s, O64s, fold64s, ice64s, valid64s,
+             thr_dev) = sus_data
+            # audit the device superset against the CORRECTED table: a
+            # non-suspect pixel was emitted only if its count cleared the
+            # device threshold of its (f64 == f32 by the margin bound)
+            # chunk; a corrected-table cell significant below that
+            # threshold that still holds non-suspect pixels could hide a
+            # missed peak (row 0 is the invalid trash row)
+            hist_nosus = hist64.copy()
+            np.add.at(hist_nosus, (cid_new, O_s), -1)
+            counts_i = np.arange(C, dtype=np.int64)[None, :]
+            missed = ((qtab <= sig) & (counts_i < thr_dev[:, None])
+                      & (hist_nosus > 0))
+            missed[0, :] = False
+            if missed.any():
+                return None
+            p64s = np.where(valid64s, ptab[cid_new, O_s], 1.0)
+            q64s = np.where(valid64s, qtab[cid_new, O_s], 1.0)
+            fin_s = (q64s <= sig) & ~gap_s
+            out = dict(
+                x=np.concatenate([out['x'], xs[fin_s]]),
+                y=np.concatenate([out['y'], xs[fin_s] + ds[fin_s]]),
+                O=np.concatenate([out['O'], O64s[fin_s]]),
+                ICE=np.concatenate([out['ICE'], ice64s[fin_s]]),
+                Fold=np.concatenate([out['Fold'], fold64s[fin_s]]),
+                p=np.concatenate([out['p'], p64s[fin_s]]),
+                q=np.concatenate([out['q'], q64s[fin_s]]),
+                prod=prod)
+        return out
     p64, q64 = score_ops.host_chunk_complete(Ov[:n], a7[:n], a8)
     fin = q64 <= sig
     return dict(x=x_idx[fin], y=x_idx[fin] + d_idx[fin], O=Ov[:n][fin],
@@ -656,7 +790,7 @@ def _compact_to_host(fetched, prod, cap=_KEEP_CAP, sig=None, exact=None):
 def _score_pair(raw, cband, IR, Bprod, KS, KE, YS, YE, wi, cand, L, sig,
                 gap_drop, bh_backend='auto', max_count=None,
                 caps=(_KEEP_CAP_FAST, _KEEP_CAP), hist_backend='jnp',
-                mesh=None, exact_ctx=None, pi=None):
+                mesh=None, exact_ctx=None, pi=None, margin=0.0):
     """Fused scoring of both hiccups backgrounds in one device program +
     one host fetch.  Returns (rK, rY), or None when the fused device
     path does not apply (host BH, or keep-cap overflow) — the caller
@@ -665,16 +799,21 @@ def _score_pair(raw, cband, IR, Bprod, KS, KE, YS, YE, wi, cand, L, sig,
     backend, o_cap = _bh_plan(True, bh_backend, max_count)
     if backend != 'device' or o_cap is None:
         return None
+    exact_mode = exact_ctx is not None and mesh is None
     for cap in caps:
         outK, outY = _score_device_compact_pair(
             raw, cband, IR, Bprod, KS, KE, YS, YE, cand, gap_drop, sig,
             wi=int(wi), L=int(L), chunked=True, o_cap=o_cap, keep_cap=cap,
-            hist_backend=hist_backend, mesh=mesh)
-        fK, fY = _fetch((outK[:8], outY[:8]))          # one bundled transfer
+            hist_backend=hist_backend, mesh=mesh, exact_mode=exact_mode,
+            sus_cap=max(_SUS_CAP, cap), margin=margin)
+        # one bundled transfer
+        fK, sK, fY, sY = _fetch((outK[:8], outK[9], outY[:8], outY[9]))
         rK = _compact_to_host(fK, outK[8], cap, sig=sig,
-                              exact=exact_ctx and (exact_ctx, pi, 'K'))
+                              exact=exact_ctx and (exact_ctx, pi, 'K'),
+                              sus=sK or None)
         rY = _compact_to_host(fY, outY[8], cap, sig=sig,
-                              exact=exact_ctx and (exact_ctx, pi, 'Y'))
+                              exact=exact_ctx and (exact_ctx, pi, 'Y'),
+                              sus=sY or None)
         if rK is not None and rY is not None:
             return rK, rY
     return None
@@ -775,7 +914,8 @@ def _bhfdr_to_host(fetched, prod, cap, sig, exact=None):
 
 def _score_one(raw, cband, IR, Bprod, bSV, bEV, wi, cand, L, sig, gap_drop,
                chunked: bool, bh_backend='auto', max_count=None,
-               check=False, hist_backend='jnp', mesh=None, exact=None):
+               check=False, hist_backend='jnp', mesh=None, exact=None,
+               margin=0.0):
     """Poisson scoring of one background; returns host-side kept-pixel
     arrays (x, y, O, ICE, Fold, p, q) plus the dense EM*ratio product.
     ``check=True`` routes through the checkify-instrumented program and
@@ -814,16 +954,21 @@ def _score_one(raw, cband, IR, Bprod, bSV, bEV, wi, cand, L, sig, gap_drop,
                 out = _score_device_compact(
                     raw, cband, IR, Bprod, bSV, bEV, cand, gap_drop, sig,
                     wi=int(wi), L=int(L), chunked=chunked, o_cap=o_cap,
-                    keep_cap=cap, hist_backend=hist_backend, mesh=mesh)
-            fetched = _fetch(out[:8])       # one bundled host transfer
+                    keep_cap=cap, hist_backend=hist_backend, mesh=mesh,
+                    exact_mode=(exact is not None and not check
+                                and mesh is None),
+                    sus_cap=max(_SUS_CAP, cap), margin=margin)
+            # one bundled host transfer
+            fetched, sus_f = _fetch((out[:8], out[9]))
             n = int(fetched[0])
             if n <= cap:
                 r = _compact_to_host(
                     fetched, out[8], cap,
                     sig=sig if (chunked and o_cap is not None) else None,
-                    exact=exact if (chunked and o_cap is not None) else None)
-                assert r is not None
-                return r
+                    exact=exact if (chunked and o_cap is not None) else None,
+                    sus=sus_f or None)
+                if r is not None:
+                    return r
         # cap overflow (pathological siglevel/data): dense fallback below
 
     (pval, cid, valid, qval, keep, scored, O, ICE, Fold, prod,
@@ -863,17 +1008,22 @@ def _score_one(raw, cband, IR, Bprod, bSV, bEV, wi, cand, L, sig, gap_drop,
                 p=pval_np[d_idx, x_idx], q=qval_np[d_idx, x_idx], prod=prod)
 
 
+def _exact_capable(bands):
+    """Whether the bands can serve float64 host completion (legacy bands
+    lack the float64 vector copies).  Sharded multi-host bands qualify
+    through their per-host column spans (``raw_spans``): the window-cell
+    gather is reduced exactly across processes, so the emitted statistics
+    stay bit-identical at any process count."""
+    if getattr(bands, 'w064', None) is None:
+        return False
+    return bool(isinstance(getattr(bands, 'raw', None), np.ndarray)
+                or getattr(bands, 'raw_spans', None) is not None)
+
+
 def _exact_ctx(bands, plan, allowed, thr):
     """ExactCtx for float64 host completion of the compacted pixels'
-    emitted statistics, or None when the bands cannot serve it (legacy
-    bands lack the float64 vector copies).  Sharded multi-host bands
-    qualify through their per-host column spans (``raw_spans``): the
-    window-cell gather is reduced exactly across processes, so the
-    emitted statistics stay bit-identical at any process count."""
-    if getattr(bands, 'w064', None) is None:
-        return None
-    if not (isinstance(getattr(bands, 'raw', None), np.ndarray)
-            or getattr(bands, 'raw_spans', None) is not None):
+    emitted statistics, or None when the bands cannot serve it."""
+    if not _exact_capable(bands):
         return None
     from ..ops.hostexact import ExactCtx
     return ExactCtx(bands, plan, allowed, thr)
@@ -1044,6 +1194,7 @@ def _hiccups_fused(bands: ChromBands, cfg: HiccupsConfig, plan, p_list,
     any pair overflows the fast keep cap (the caller falls back to the
     multi-dispatch path, which retries at the hard cap)."""
     raw_op, bits, w0, bias, IR, gap = _staged_operands(bands)
+    exact_mode = _exact_capable(bands)
     counts, allowed_d, outK, outY = _fused_hiccups_device(
         raw_op, w0, bias, IR, gap, jnp.float32(cfg.siglevel),
         np.int32(total), np.int32(poolplan.left_threshold(total)),
@@ -1052,9 +1203,10 @@ def _hiccups_fused(bands: ChromBands, cfg: HiccupsConfig, plan, p_list,
         ww_min=bands.ww_min, L=int(bands.L), d_lo=min(cfg.ww),
         d_hi=cfg.maxapart // bands.res, gap_s=min(cfg.ww), o_cap=o_cap,
         keep_cap=_KEEP_CAP_FAST, hist_backend=hist_backend, bits=bits,
-        scan_impl=scan_impl)
-    counts_h, allowed_h, fK_all, fY_all = _fetch(
-        (counts, allowed_d, outK[:8], outY[:8]))
+        scan_impl=scan_impl, exact_mode=exact_mode,
+        margin=_chunk_margin(plan))
+    counts_h, allowed_h, fK_all, sK, fY_all, sY = _fetch(
+        (counts, allowed_d, outK[:8], outK[9], outY[:8], outY[9]))
     decision = poolplan.emulate_freeze_hiccups(plan, counts_h, total,
                                                cfg.ww)
     assert np.array_equal(np.asarray(allowed_h),
@@ -1063,12 +1215,14 @@ def _hiccups_fused(bands: ChromBands, cfg: HiccupsConfig, plan, p_list,
     ctx = _exact_ctx(bands, plan, decision.allowed, cfg.min_local_reads)
     results = []
     for i, (pi, _) in enumerate(pairs):
-        rK = _compact_to_host(tuple(l[i] for l in fK_all), outK[8][i],
+        rK = _compact_to_host(tuple(l[i] for l in fK_all), (outK[8], i),
                               _KEEP_CAP_FAST, sig=cfg.siglevel,
-                              exact=ctx and (ctx, pi, 'K'))
-        rY = _compact_to_host(tuple(l[i] for l in fY_all), outY[8][i],
+                              exact=ctx and (ctx, pi, 'K'),
+                              sus=tuple(l[i] for l in sK) if sK else None)
+        rY = _compact_to_host(tuple(l[i] for l in fY_all), (outY[8], i),
                               _KEEP_CAP_FAST, sig=cfg.siglevel,
-                              exact=ctx and (ctx, pi, 'Y'))
+                              exact=ctx and (ctx, pi, 'Y'),
+                              sus=tuple(l[i] for l in sY) if sY else None)
         if rK is None or rY is None:
             return None
         results.append((rK, rY))
@@ -1132,7 +1286,8 @@ def hiccups_chrom(bands: ChromBands, cfg: HiccupsConfig, mesh=None,
                                      cand, L, cfg.siglevel, gap_drop,
                                      bh_backend, max_count,
                                      hist_backend=hist_backend,
-                                     mesh=mesh, exact_ctx=ctx)
+                                     mesh=mesh, exact_ctx=ctx,
+                                     margin=_chunk_margin(plan))
 
     pixel_table = {}
     for pair_idx, (pi, wi) in enumerate(pairs):
@@ -1151,7 +1306,7 @@ def hiccups_chrom(bands: ChromBands, cfg: HiccupsConfig, mesh=None,
                         L, cfg.siglevel, gap_drop, bh_backend=bh_backend,
                         max_count=max_count, caps=(_KEEP_CAP,),
                         hist_backend=hist_backend, mesh=mesh,
-                        exact_ctx=ctx, pi=pi)
+                        exact_ctx=ctx, pi=pi, margin=_chunk_margin(plan))
             elif check:
                 pair = None
             else:
@@ -1159,7 +1314,8 @@ def hiccups_chrom(bands: ChromBands, cfg: HiccupsConfig, mesh=None,
                     raw, cband, IR, Bprod, KS, KE, YS, YE, wi, cand,
                     L, cfg.siglevel, gap_drop, bh_backend=bh_backend,
                     max_count=max_count, hist_backend=hist_backend,
-                    mesh=mesh, exact_ctx=ctx, pi=pi)
+                    mesh=mesh, exact_ctx=ctx, pi=pi,
+                    margin=_chunk_margin(plan))
             if pair is not None:
                 rK, rY = pair
             else:
@@ -1167,12 +1323,14 @@ def hiccups_chrom(bands: ChromBands, cfg: HiccupsConfig, mesh=None,
                                 cfg.siglevel, gap_drop, chunked=True,
                                 bh_backend=bh_backend, max_count=max_count,
                                 check=check, hist_backend=hist_backend,
-                                mesh=mesh, exact=ctx and (ctx, pi, 'K'))
+                                mesh=mesh, exact=ctx and (ctx, pi, 'K'),
+                                margin=_chunk_margin(plan))
                 rY = _score_one(raw, cband, IR, Bprod, YS, YE, wi, cand, L,
                                 cfg.siglevel, gap_drop, chunked=True,
                                 bh_backend=bh_backend, max_count=max_count,
                                 check=check, hist_backend=hist_backend,
-                                mesh=mesh, exact=ctx and (ctx, pi, 'Y'))
+                                mesh=mesh, exact=ctx and (ctx, pi, 'Y'),
+                                margin=_chunk_margin(plan))
 
         first = rK['O'] if cfg.use_raw else rK['ICE']
         preDonuts = {(int(x), int(y)): (fi, o, f, p, q)
@@ -1200,7 +1358,7 @@ def hiccups_chrom(bands: ChromBands, cfg: HiccupsConfig, mesh=None,
             xi = np.zeros(cap, np.int32)
             di[:len(pc)] = [cj - ci for ci, cj in pc]
             xi[:len(pc)] = [ci for ci, _ in pc]
-            vals = np.asarray(_fetch(_gather_pairs(
+            vals = np.asarray(_fetch(_gather_prod(
                 rY['prod'], jnp.asarray(di), jnp.asarray(xi))))[:len(pc)]
             for (ci, cj), v in zip(pc, vals):
                 if v == 0:

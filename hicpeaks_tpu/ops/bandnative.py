@@ -39,6 +39,14 @@ def _register(lib):
         _i64p, _f64p,                           # cand_hist, out_max
         _i64p, _i64p, _f64p, _f64p,             # dd, b1, cvals, ct (nullable)
     ]
+    lib.ring_sums.restype = ctypes.c_int64
+    lib.ring_sums.argtypes = [
+        _f32p, ctypes.c_int64, ctypes.c_int64,  # raw, num_p, Lp
+        _f64p, _f64p,                           # w64, ir64
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,  # L, ww_min, maxw
+        _i64p, _i64p, ctypes.c_int64,           # d_idx, x_idx, n
+        _f64p, _f64p, _f64p, _f64p, _f64p,      # Qm, Kc, Qc, Ke, Qe
+    ]
     return lib
 
 
@@ -137,3 +145,35 @@ def band_build_native(bin1, bin2, count, weights, L, num, num_p, Lp, ww_min,
     sparse = (dd[:m], b1[:m], cvals[:m], ct[:m]) if keep_sparse else None
     return (raw, csum_blk, nan_counts, colsum, sparse, cand_hist,
             float(out_max[0]))
+
+
+def ring_sums_native(raw, w64, ir64, L, ww_min, maxw, d_idx, x_idx):
+    """Threaded C++ per-pixel ring sums for the host-exact replay
+    (hostexact.ExactCtx.ring_sums), or None when the native library is
+    unavailable.  ``raw`` must be the dense float32 [num_p, Lp] slab.
+    Returns dict of f64 [n, maxw+1] arrays keyed Qm/Kc/Qc/Ke/Qe.  Float64
+    accumulation order differs from the numpy fallback's pairwise sums by
+    O(cells*eps) — inside the engine's 1e-8 stat parity bounds."""
+    lib = _load_library()
+    if lib is None or raw.dtype != np.float32 or not raw.flags.c_contiguous:
+        return None
+    d_idx = np.ascontiguousarray(d_idx, np.int64)
+    x_idx = np.ascontiguousarray(x_idx, np.int64)
+    w64 = np.ascontiguousarray(w64, np.float64)
+    ir64 = np.ascontiguousarray(ir64, np.float64)
+    n = d_idx.size
+    num_p, Lp = raw.shape
+    if w64.size != Lp or ir64.size != num_p:
+        return None
+    out = {k: np.zeros((n, maxw + 1)) for k in ('Qm', 'Kc', 'Qc', 'Ke', 'Qe')}
+    rc = lib.ring_sums(
+        raw.ctypes.data_as(_f32p), num_p, Lp,
+        w64.ctypes.data_as(_f64p), ir64.ctypes.data_as(_f64p),
+        L, ww_min, maxw,
+        d_idx.ctypes.data_as(_i64p), x_idx.ctypes.data_as(_i64p), n,
+        out['Qm'].ctypes.data_as(_f64p), out['Kc'].ctypes.data_as(_f64p),
+        out['Qc'].ctypes.data_as(_f64p), out['Ke'].ctypes.data_as(_f64p),
+        out['Qe'].ctypes.data_as(_f64p))
+    if rc != 0:
+        return None
+    return out

@@ -179,6 +179,25 @@ def lambda_chunks(E, scored):
     return cid, rv, valid
 
 
+def lambda_suspects(E, scored, margin):
+    """Pixels whose f32 lambda-chunk membership is not PROVABLY the
+    float64 one: ``t = 3*log2(E)`` within ``margin`` of an integer (chunk
+    edges sit exactly at integer t, :func:`lambda_chunks`).
+
+    The reference chunks float64 E values (callers.py:263-270); the
+    device's f32 E carries the ring-sum accumulation error, so a pixel
+    within that error of a chunk edge may land in the adjacent chunk —
+    shifting that chunk's m/rank by one and every q in it by ~1/m (the
+    round-2 verdict's residual 2.8e-4 stat drift).  The engine compacts
+    these suspects, replays their E in exact float64 on the host
+    (ops/hostexact), corrects the integer histogram, and decides their
+    keep/stats host-side.  ``margin`` must bound |t_f32 - t_f64|; the
+    engine derives it from the window cell count (engine._chunk_margin)."""
+    safeE = jnp.where(scored & (E > 0), E, 1.0)
+    t = 3.0 * (jnp.log(safeE) / jnp.log(2.0))
+    return scored & (jnp.abs(t - jnp.round(t)) < margin)
+
+
 _SCAN_ROW = 8192   # row width for two-level scans (see _cummax_2l)
 
 
@@ -436,9 +455,12 @@ def chunk_bh_keep(O, cid, valid, sig, n_chunks=128, o_cap=32768,
     ``sig`` — reference semantics (callers.py:263-287) in full float64.
 
     Returns (keep mask, qtab [n_chunks, o_cap+1], hist [n_chunks, o_cap+1]
-    int32); look up f32 q-values for compacted pixels as
-    ``qtab[cid, floor(O)]`` (invalid pixels carry q = 1, which this mask
-    admits only when ``sig >= 1``).
+    int32, thr [n_chunks] — the per-chunk first-significant count index
+    the mask compared against, shipped to the controller so it can verify
+    the superset property against the suspect-CORRECTED float64 table);
+    look up f32 q-values for compacted pixels as ``qtab[cid, floor(O)]``
+    (invalid pixels carry q = 1, which this mask admits only when
+    ``sig >= 1``).
     """
     S, C = n_chunks, o_cap + 1
     if mesh is not None:
@@ -461,7 +483,7 @@ def chunk_bh_keep(O, cid, valid, sig, n_chunks=128, o_cap=32768,
     keep = valid & (jnp.clip(jnp.floor(O), 0, C - 1) >= th)
     # invalid pixels carry q = 1.0, admitted by the mask only when sig >= 1
     keep = keep | (~valid & (jnp.asarray(sig, O.dtype) >= 1.0))
-    return keep, qtab, hist
+    return keep, qtab, hist, thr.astype(jnp.int32)
 
 
 def _chunk_pack(O, cid, valid, S, C):

@@ -430,3 +430,80 @@ extern "C" int64_t band_build2(
   }
   return n_sel;
 }
+
+// ring_sums: per-pixel, per-radius float64 window ring sums for the
+// host-exact statistics replay (hicpeaks_tpu/ops/hostexact.py).  The
+// numpy form gathers [n, (2w+1)^2] cell temporaries and reduces them per
+// (kind, radius) — ~3.7s at 18K pixels (cache-thrashing); this kernel
+// walks each pixel's window once and accumulates the five ring families
+// in stack-resident accumulators (~8M scalar cell visits at 18K pixels,
+// threaded over pixels).  Semantics mirror hostexact._ring_sums_block
+// exactly (including its tpc+dpc clip); float64 accumulation ORDER is
+// sequential b-inner/a-outer, which differs from numpy's pairwise sums
+// by O(cells * eps_f64) — covered by the engine's 1e-8 parity bounds
+// (the reference's own accumulation order is a third order anyway).
+//
+//   ring_sums(raw f32[num_p, Lp], w64 f64[Lp], ir64 f64[num_p],
+//             L, ww_min, maxw, d_idx i64[n], x_idx i64[n], n,
+//             Qm, Kc, Qc, Ke, Qe  f64[n, maxw+1] pre-zeroed) -> 0 (or -1)
+extern "C" int64_t ring_sums(
+    const float* raw, int64_t num_p, int64_t Lp, const double* w64,
+    const double* ir64, int64_t L, int64_t ww_min, int64_t maxw,
+    const int64_t* d_idx, const int64_t* x_idx, int64_t n,
+    double* Qm, double* Kc, double* Qc, double* Ke, double* Qe) {
+  if (n < 0 || num_p <= 0 || Lp <= 0 || maxw < 0 || maxw > 64) return -1;
+  const int64_t R = maxw + 1;
+
+  unsigned hw = std::thread::hardware_concurrency();
+  int64_t n_threads = hw ? static_cast<int64_t>(hw) : 4;
+  if (n_threads > 16) n_threads = 16;
+  if (n_threads < 1) n_threads = 1;
+  int64_t chunk = (n + n_threads - 1) / n_threads;
+  if (chunk < 1) chunk = 1;
+
+  std::vector<std::thread> ts;
+  for (int64_t t = 0; t < n_threads; ++t) {
+    ts.emplace_back([&, t] {
+      int64_t lo = t * chunk, hi = std::min(n, (t + 1) * chunk);
+      std::vector<double> acc(5 * R);
+      for (int64_t i = lo; i < hi; ++i) {
+        std::fill(acc.begin(), acc.end(), 0.0);
+        const int64_t d = d_idx[i], x = x_idx[i];
+        for (int64_t a = -maxw; a <= maxw; ++a) {
+          const int64_t tp = x + a;
+          for (int64_t b = -maxw; b <= maxw; ++b) {
+            const int64_t r = std::max(std::llabs(a), std::llabs(b));
+            if (r == 0) continue;
+            const bool is_k = (a != 0) && (b != 0);
+            const bool is_q = (a >= 1) && (b <= -1);
+            if (!is_k && !is_q) continue;
+            const int64_t dp = d + b - a;
+            const bool inb = dp >= 0 && dp < num_p && tp >= 0 && tp < Lp;
+            double rawv = 0.0, cv = 0.0, ev = 0.0;
+            if (inb) {
+              rawv = static_cast<double>(raw[dp * Lp + tp]);
+              if (dp >= ww_min) {
+                int64_t yc = tp + dp;
+                if (yc > Lp - 1) yc = Lp - 1;
+                cv = rawv * w64[tp] * w64[yc];
+              }
+              if (tp < L - dp) ev = ir64[dp];
+            }
+            double* row = acc.data();
+            if (is_q) row[0 * R + r] += rawv;          // Qm
+            if (is_k) row[1 * R + r] += cv;            // Kc
+            if (is_q) row[2 * R + r] += cv;            // Qc
+            if (is_k) row[3 * R + r] += ev;            // Ke
+            if (is_q) row[4 * R + r] += ev;            // Qe
+          }
+        }
+        double* outs[5] = {Qm, Kc, Qc, Ke, Qe};
+        for (int k = 0; k < 5; ++k)
+          std::memcpy(outs[k] + i * R, acc.data() + k * R,
+                      R * sizeof(double));
+      }
+    });
+  }
+  for (auto& th : ts) th.join();
+  return 0;
+}

@@ -21,3 +21,13 @@ import jax  # noqa: E402
 jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_enable_x64', True)
 assert jax.default_backend() == 'cpu', jax.devices()
+
+# Persist XLA:CPU compilations across test runs: the engines compile one
+# fused program per (shape bucket, config), and the suite exercises many
+# configs — cold compiles dominate suite wall time.  Keyed on HLO hash,
+# so staleness is not a concern; delete the directory to reset.
+_cache = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), '.jax_cache_tests')
+os.makedirs(_cache, exist_ok=True)
+jax.config.update('jax_compilation_cache_dir', _cache)
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)

@@ -135,7 +135,7 @@ def test_chunk_bh_keep_matches_dense_threshold(sig):
 
     q_dense = np.asarray(chunk_bh_histogram(
         jnp.asarray(O), jnp.asarray(cid), jnp.asarray(valid), o_cap=256))
-    keep, qtab, hist = chunk_bh_keep(jnp.asarray(O),
+    keep, qtab, hist, _thr = chunk_bh_keep(jnp.asarray(O),
                                      jnp.asarray(cid), jnp.asarray(valid),
                                      jnp.float32(sig), o_cap=256)
     np.testing.assert_array_equal(np.asarray(keep), q_dense <= sig)
@@ -185,7 +185,7 @@ def test_host_chunk_complete_matches_f64_reference(sig):
         q64_ref[sel] = fdr_bh(p64_ref[sel], alpha=sig)[1]
     ref_keep = valid & (q64_ref <= sig)
 
-    keep, _qtab, hist = chunk_bh_keep(
+    keep, _qtab, hist, _thr = chunk_bh_keep(
         jnp.asarray(O), jnp.asarray(cid), jnp.asarray(valid),
         jnp.float32(sig), o_cap=256, slack=0.01)
     keep = np.asarray(keep)

@@ -23,12 +23,14 @@ def synth(tmp_path_factory):
     return CoolerLite(uri), loops
 
 
-def _assert_tables_match(got, want, stat_slice, rtol=2e-4, atol=1e-11):
-    # rtol covers jax.scipy gammainc vs scipy pdtr divergence in extreme
-    # Poisson tails (~1e-5 relative at p~1e-12, growing toward machine
-    # epsilon); atol treats p/q below 1e-11 as equal — the emitted bedpe
-    # carries 3 significant digits (scripts/pyHICCUPS:202), so neither is
-    # visible in the output format.
+def _assert_tables_match(got, want, stat_slice, rtol=1e-8, atol=1e-300):
+    # The engine completes every emitted statistic in float64 on the host
+    # (exact ring-sum replay + suspect-corrected chunk histograms,
+    # ops/hostexact.py), so the only slack vs the float64 oracle is f64
+    # summation ORDER in the ring sums (~1e-13 relative on E) amplified by
+    # the Poisson tail sensitivity d log p / d log E ~ (O - E).  Round 2
+    # needed rtol 2e-4 here (f32 chunk-membership shifted per-chunk m by
+    # one); round 3's suspect correction closes that.
     assert set(got) == set(want), (
         f'locus sets differ: extra={sorted(set(got) - set(want))[:5]} '
         f'missing={sorted(set(want) - set(got))[:5]}')
