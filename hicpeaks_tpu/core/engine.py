@@ -766,6 +766,12 @@ def _compact_to_host(fetched, prod, cap=_KEEP_CAP, sig=None, exact=None,
                       & (hist_nosus > 0))
             missed[0, :] = False
             if missed.any():
+                import logging
+                logging.getLogger(__name__).warning(
+                    'suspect-corrected BH table made %d (chunk, count) '
+                    'cells significant below the device keep threshold — '
+                    'falling back to the dense scorer for this background '
+                    '(f32-chunked; loci unaffected)', int(missed.sum()))
                 return None
             p64s = np.where(valid64s, ptab[cid_new, O_s], 1.0)
             q64s = np.where(valid64s, qtab[cid_new, O_s], 1.0)
