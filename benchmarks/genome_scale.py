@@ -58,9 +58,16 @@ def _watchdog(seconds):
 def main():
     t_all = time.time()
     disarm = _watchdog(int(os.environ.get('GS_TIMEOUT', 3000)))
-    os.environ.setdefault('JAX_COMPILATION_CACHE_DIR',
-                          os.path.join(os.path.dirname(os.path.dirname(
-                              os.path.abspath(__file__))), '.jax_cache'))
+    cache_dir = os.environ.setdefault(
+        'JAX_COMPILATION_CACHE_DIR',
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), '.jax_cache'))
+    # cold = first-ever run (XLA compiles everything over the tunnel);
+    # warm = the persistent on-disk cache already holds the executables,
+    # which is the state every production re-run and every later
+    # chromosome of a genome pass sees (cli/common.enable_compilation_cache)
+    cache_state = ('warm' if os.path.isdir(cache_dir) and os.listdir(cache_dir)
+                   else 'cold')
     import jax
     from hicpeaks_tpu.core import engine
     from hicpeaks_tpu.core.config import HiccupsConfig
@@ -142,6 +149,7 @@ def main():
         'candidates': n_cand,
         'band_build_s': round(t_band, 1),
         'transfer_s': round(t_transfer, 1),
+        'compile_cache': cache_state,
         'first_call_s': round(t_first, 1),
         'steady_call_s': round(t_steady, 1),
         'pixels_per_s': round(pixels_per_s, 1),
