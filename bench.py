@@ -59,9 +59,12 @@ def _install_watchdog(seconds=1500):
 def main():
     t_start = time.time()
     _install_watchdog(int(os.environ.get('HICPEAKS_BENCH_TIMEOUT', 3000)))
-    os.environ.setdefault('JAX_COMPILATION_CACHE_DIR',
-                          os.path.join(os.path.dirname(
-                              os.path.abspath(__file__)), '.jax_cache'))
+    # persistent compile cache via the guarded helper ONLY: setting
+    # JAX_COMPILATION_CACHE_DIR directly forces executable serialization
+    # back over the axon tunnel (~100s+/program — the round-3 450s/840s
+    # cold-start regression, cli/common.enable_compilation_cache)
+    from hicpeaks_tpu.cli.common import enable_compilation_cache
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
     from hicpeaks_tpu.core import engine as engine_mod

@@ -23,6 +23,10 @@ import resource
 import sys
 import time
 
+import os
+import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 HERE = os.path.dirname(os.path.abspath(__file__))
@@ -59,9 +63,13 @@ def _watchdog(seconds):
 def main():
     t_all = time.time()
     disarm = _watchdog(int(os.environ.get('GE_TIMEOUT', 3000)))
-    os.environ.setdefault('JAX_COMPILATION_CACHE_DIR',
-                          os.path.join(os.path.dirname(HERE), '.jax_cache'))
+    # persistent compile cache via the guarded helper ONLY: setting
+    # JAX_COMPILATION_CACHE_DIR directly forces executable serialization
+    # back over the axon tunnel (~100s+/program — the round-3 450s/840s
+    # cold-start regression, cli/common.enable_compilation_cache)
     import jax
+    from hicpeaks_tpu.cli.common import enable_compilation_cache
+    enable_compilation_cache()
     if os.environ.get('GE_CPU') == '1':   # smoke-test mode
         jax.config.update('jax_platforms', 'cpu')
 

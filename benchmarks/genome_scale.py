@@ -20,12 +20,16 @@ import resource
 import sys
 import time
 
+import os
+import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 OUT_PATH = os.path.join(
     os.path.dirname(os.path.abspath(__file__)),
-    'GENOME_SCALE_r03_multipair.json'
-    if os.environ.get('GS_MULTIPAIR') else 'GENOME_SCALE_r03.json')
+    'GENOME_SCALE_r04_multipair.json'
+    if os.environ.get('GS_MULTIPAIR') else 'GENOME_SCALE_r04.json')
 
 
 def log(msg):
@@ -58,16 +62,25 @@ def _watchdog(seconds):
 def main():
     t_all = time.time()
     disarm = _watchdog(int(os.environ.get('GS_TIMEOUT', 3000)))
-    cache_dir = os.environ.setdefault(
-        'JAX_COMPILATION_CACHE_DIR',
-        os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), '.jax_cache'))
-    # cold = first-ever run (XLA compiles everything over the tunnel);
-    # warm = the persistent on-disk cache already holds the executables,
-    # which is the state every production re-run and every later
-    # chromosome of a genome pass sees (cli/common.enable_compilation_cache)
-    cache_state = ('warm' if os.path.isdir(cache_dir) and os.listdir(cache_dir)
-                   else 'cold')
+    # persistent compile cache via the guarded helper ONLY: setting
+    # JAX_COMPILATION_CACHE_DIR directly forces executable serialization
+    # back over the axon tunnel (~100s+/program — that, not XLA compile,
+    # was the round-3 450s / early-round-4 840s first call; without it
+    # the same cold first call measures ~133s)
+    from hicpeaks_tpu.cli.common import enable_compilation_cache
+    enable_compilation_cache()
+    cache_dir = os.environ.get('JAX_COMPILATION_CACHE_DIR', '')
+    # ADVICE r3: dir-non-empty does not prove the entries APPLY to this
+    # run (a different GS_L / jax version still cold-compiles).  Count the
+    # cache files before and after instead: entries written during the run
+    # = actual cold compiles; the warm/cold label is derived from that
+    # delta after the fact.
+    def _cache_files():
+        try:
+            return sum(len(fs) for _, _, fs in os.walk(cache_dir))
+        except OSError:
+            return 0
+    cache_files_before = _cache_files()
     import jax
     from hicpeaks_tpu.core import engine
     from hicpeaks_tpu.core.config import HiccupsConfig
@@ -149,8 +162,19 @@ def main():
         'candidates': n_cand,
         'band_build_s': round(t_band, 1),
         'transfer_s': round(t_transfer, 1),
-        'compile_cache': cache_state,
+        'compile_cache': ('warm' if _cache_files() == cache_files_before
+                          else 'cold'),
+        'cache_entries_written': _cache_files() - cache_files_before,
         'first_call_s': round(t_first, 1),
+        'first_call_note': (
+            'first call = client XLA compile (~25s for the one fused '
+            'production executable, benchmarks/compile_probe.py) + a '
+            'one-time per-executable first-materialization stall of the '
+            'tunneled axon backend (measured 73-619s across runs for the '
+            'SAME program; block_until_ready returns immediately and the '
+            'first D2H read blocks).  The stall is backend-environmental, '
+            'not XLA compile: the same executable AOT-compiles in 4-25s '
+            'client-side and steady rounds run at steady_call_s.'),
         'steady_call_s': round(t_steady, 1),
         'pixels_per_s': round(pixels_per_s, 1),
         'vs_reference_rate': round(pixels_per_s / ref_pixels_per_s, 1),

@@ -11,7 +11,7 @@ sum/count tensor from the Mosaic kernel is asserted allclose against the
 jnp scan on hardware — then diffs the engine's float32 peak table against
 the float64 NumPy oracle (tests/oracle/reference_impl.py).
 
-Writes benchmarks/HW_VALIDATE_r02.json.
+Writes benchmarks/HW_VALIDATE_r04.json (override with HV_OUT).
 """
 import json
 import os
@@ -23,7 +23,7 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 OUT_PATH = os.path.join(REPO, 'benchmarks',
-                        os.environ.get('HV_OUT', 'HW_VALIDATE_r02.json'))
+                        os.environ.get('HV_OUT', 'HW_VALIDATE_r04.json'))
 
 
 def log(msg):
@@ -80,6 +80,17 @@ def main():
         t_validate = time.time() - t0
         log(f'validate-mode hiccups (pallas+jnp cross-checked on '
             f'{jax.default_backend()}): {t_validate:.1f}s, {len(got)} peaks')
+
+        # PRODUCTION path (fused one-dispatch program, exact_mode suspect
+        # correction, float64 host completion) vs the float64 oracle —
+        # the row the round-3 verdict asked for: the rtol-1e-8 claim of
+        # tests/test_engine_parity.py measured on real hardware, dated
+        # after the exact-statistics commits (VERDICT r3 weak #3)
+        t0 = time.time()
+        prod_tab = engine.hiccups_chrom(bands, cfg)
+        t_prod = time.time() - t0
+        log(f'production hiccups (fused+exact): {t_prod:.1f}s, '
+            f'{len(prod_tab)} peaks')
 
         t0 = time.time()
         d = prepare_chrom(clr, '21', cfg.maxapart, cfg.maxww, min(cfg.ww))
@@ -148,6 +159,20 @@ def main():
             f'{len(b_common) / max(b_union, 1):.4f}, max_rel={b_max_rel:.2e}'
             f' ({time.time() - t0:.1f}s)')
 
+    p_common = set(prod_tab) & set(want)
+    p_union = len(set(prod_tab) | set(want))
+    p_max_rel = 0.0
+    p_geom = True
+    for key in p_common:
+        g = np.asarray(prod_tab[key][3:], float)
+        w = np.asarray(want[key][3:], float)
+        p_geom &= tuple(prod_tab[key][:3]) == tuple(want[key][:3])
+        p_max_rel = max(p_max_rel, float(np.max(
+            np.abs(g - w) / np.maximum(np.abs(w), 1e-11))))
+    log(f'production exact-path vs f64 oracle: '
+        f'jaccard={len(p_common) / max(p_union, 1):.4f}, '
+        f'max_rel={p_max_rel:.2e}')
+
     common = set(got) & set(want)
     max_rel = 0.0
     geometry_ok = True
@@ -158,7 +183,18 @@ def main():
         denom = np.maximum(np.abs(w), 1e-11)
         max_rel = max(max_rel, float(np.max(np.abs(g - w) / denom)))
     union = len(set(got) | set(want))
+    import datetime
+    import subprocess as _sp
+    try:
+        git_rev = _sp.run(['git', 'rev-parse', 'HEAD'], cwd=REPO,
+                          capture_output=True, text=True).stdout.strip()
+    except OSError:
+        git_rev = 'unknown'
     result = {
+        # provenance (ADVICE r3: tie the numbers to the code state)
+        'run_utc': datetime.datetime.now(datetime.timezone.utc).isoformat(),
+        'git_rev': git_rev,
+        'jax_version': jax.__version__,
         'backend': jax.default_backend(),
         'device': str(dev),
         'config': {'L': L, 'res': 10000, 'pw': [1, 2], 'ww': [3, 5],
@@ -180,6 +216,14 @@ def main():
             'loci_jaccard': round(len(b_common) / max(b_union, 1), 4),
             'geometry_identical_on_common': bool(b_geom),
             'max_rel_stat_diff': b_max_rel},
+        'exact_path_vs_f64': {
+            'loci_jaccard': round(len(p_common) / max(p_union, 1), 4),
+            'geometry_identical_on_common': bool(p_geom),
+            'max_rel_stat_diff': p_max_rel,
+            'peaks': len(prod_tab),
+            'note': 'production fused path (exact_mode float64 host '
+                    'completion + suspect correction) vs the float64 '
+                    'oracle on hardware'},
         'engine_peaks': len(got),
         'oracle_peaks': len(want),
         'loci_jaccard': round(len(common) / union, 4) if union else 1.0,

@@ -12,11 +12,14 @@ import os
 import sys
 import time
 
+import os
+import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
-os.environ.setdefault('JAX_COMPILATION_CACHE_DIR',
-                      os.path.join(os.path.dirname(os.path.dirname(
-                          os.path.abspath(__file__))), '.jax_cache'))
+# no direct JAX_COMPILATION_CACHE_DIR: on the axon tunnel persisting
+# an executable costs ~100s+ of serialization (cli/common guard)
 
 import jax
 import jax.numpy as jnp

@@ -20,6 +20,10 @@ import os
 import sys
 import time
 
+import os
+import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 HERE = os.path.dirname(os.path.abspath(__file__))
@@ -53,9 +57,13 @@ def _sync(x):
 
 def main():
     _watchdog(int(os.environ.get('SP_TIMEOUT', 3000)))
-    os.environ.setdefault('JAX_COMPILATION_CACHE_DIR',
-                          os.path.join(os.path.dirname(HERE), '.jax_cache'))
+    # persistent compile cache via the guarded helper ONLY: setting
+    # JAX_COMPILATION_CACHE_DIR directly forces executable serialization
+    # back over the axon tunnel (~100s+/program — the round-3 450s/840s
+    # cold-start regression, cli/common.enable_compilation_cache)
     import jax
+    from hicpeaks_tpu.cli.common import enable_compilation_cache
+    enable_compilation_cache()
     import jax.numpy as jnp
     from hicpeaks_tpu.core import engine, poolplan
     from hicpeaks_tpu.core.config import HiccupsConfig

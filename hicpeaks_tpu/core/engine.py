@@ -555,6 +555,57 @@ def _fused_bhfdr_device(raw_op, w0, bias, IR, gap, sig, total, t_left,
     return counts, allowed, out
 
 
+def _score_pairs(raw, cband, IR, Bprod, outs, pairs, cand, L, sig, gap_drop,
+                 bh_backend, max_count, hist_backend='jnp', mesh=None,
+                 exact_ctx=None, margin=0.0, check=False):
+    """THE non-fused hiccups scoring ladder, one entry point (round-3
+    verdict hygiene item: hiccups_chrom carried four near-duplicate
+    scoring paths).  Tiers, per (p, w) pair:
+
+    1. every pair's two backgrounds in ONE device program at the fast
+       keep cap (:func:`_score_all_pairs`);
+    2. hard-cap per-pair retry for entries that overflowed tier 1
+       (:func:`_score_pair`);
+    3. the per-background scorer (:func:`_score_one`) for everything the
+       compact device scorers cannot serve — checkify instrumentation,
+       host BH, keep-cap overflow — ending in the dense host-BH fallback.
+
+    Returns a list of (rK, rY) host dicts aligned with ``pairs``."""
+    multi = None
+    if not check:
+        multi = _score_all_pairs(raw, cband, IR, Bprod, outs, pairs, cand,
+                                 L, sig, gap_drop, bh_backend, max_count,
+                                 hist_backend=hist_backend, mesh=mesh,
+                                 exact_ctx=exact_ctx, margin=margin)
+    results = []
+    for i, (pi, wi) in enumerate(pairs):
+        pair = multi[i] if multi is not None else None
+        if pair is None and not check:
+            KS, KE, YS, YE = outs[pi]
+            # after a tier-1 overflow the fast tier would deterministically
+            # overflow again, so the retry starts at the hard cap
+            caps = ((_KEEP_CAP,) if multi is not None
+                    else (_KEEP_CAP_FAST, _KEEP_CAP))
+            pair = _score_pair(raw, cband, IR, Bprod, KS, KE, YS, YE, wi,
+                               cand, L, sig, gap_drop,
+                               bh_backend=bh_backend, max_count=max_count,
+                               caps=caps, hist_backend=hist_backend,
+                               mesh=mesh, exact_ctx=exact_ctx, pi=pi,
+                               margin=margin)
+        if pair is None:
+            KS, KE, YS, YE = outs[pi]
+            pair = tuple(
+                _score_one(raw, cband, IR, Bprod, bS, bE, wi, cand, L, sig,
+                           gap_drop, chunked=True, bh_backend=bh_backend,
+                           max_count=max_count, check=check,
+                           hist_backend=hist_backend, mesh=mesh,
+                           exact=exact_ctx and (exact_ctx, pi, kind),
+                           margin=margin)
+                for bS, bE, kind in ((KS, KE, 'K'), (YS, YE, 'Y')))
+        results.append(pair)
+    return results
+
+
 def _score_all_pairs(raw, cband, IR, Bprod, outs, pairs, cand, L, sig,
                      gap_drop, bh_backend, max_count, hist_backend='jnp',
                      mesh=None, exact_ctx=None, margin=0.0):
@@ -1286,57 +1337,17 @@ def hiccups_chrom(bands: ChromBands, cfg: HiccupsConfig, mesh=None,
             max_count = float(bands.raw.max())
 
         ctx = _exact_ctx(bands, plan, decision.allowed, cfg.min_local_reads)
-        multi = None
-        if not check and len(pairs) > 1:
-            multi = _score_all_pairs(raw, cband, IR, Bprod, outs, pairs,
+        fused_results = _score_pairs(raw, cband, IR, Bprod, outs, pairs,
                                      cand, L, cfg.siglevel, gap_drop,
                                      bh_backend, max_count,
-                                     hist_backend=hist_backend,
-                                     mesh=mesh, exact_ctx=ctx,
-                                     margin=_chunk_margin(plan))
+                                     hist_backend=hist_backend, mesh=mesh,
+                                     exact_ctx=ctx,
+                                     margin=_chunk_margin(plan),
+                                     check=check)
 
     pixel_table = {}
     for pair_idx, (pi, wi) in enumerate(pairs):
-        if fused_results is not None:
-            rK, rY = fused_results[pair_idx]
-        else:
-            KS, KE, YS, YE = outs[pi]
-            if multi is not None:
-                pair = multi[pair_idx]
-                if pair is None:
-                    # this pair overflowed the fused program's fast cap, so
-                    # retry straight at the hard cap (the fast tier would
-                    # deterministically overflow again)
-                    pair = _score_pair(
-                        raw, cband, IR, Bprod, KS, KE, YS, YE, wi, cand,
-                        L, cfg.siglevel, gap_drop, bh_backend=bh_backend,
-                        max_count=max_count, caps=(_KEEP_CAP,),
-                        hist_backend=hist_backend, mesh=mesh,
-                        exact_ctx=ctx, pi=pi, margin=_chunk_margin(plan))
-            elif check:
-                pair = None
-            else:
-                pair = _score_pair(
-                    raw, cband, IR, Bprod, KS, KE, YS, YE, wi, cand,
-                    L, cfg.siglevel, gap_drop, bh_backend=bh_backend,
-                    max_count=max_count, hist_backend=hist_backend,
-                    mesh=mesh, exact_ctx=ctx, pi=pi,
-                    margin=_chunk_margin(plan))
-            if pair is not None:
-                rK, rY = pair
-            else:
-                rK = _score_one(raw, cband, IR, Bprod, KS, KE, wi, cand, L,
-                                cfg.siglevel, gap_drop, chunked=True,
-                                bh_backend=bh_backend, max_count=max_count,
-                                check=check, hist_backend=hist_backend,
-                                mesh=mesh, exact=ctx and (ctx, pi, 'K'),
-                                margin=_chunk_margin(plan))
-                rY = _score_one(raw, cband, IR, Bprod, YS, YE, wi, cand, L,
-                                cfg.siglevel, gap_drop, chunked=True,
-                                bh_backend=bh_backend, max_count=max_count,
-                                check=check, hist_backend=hist_backend,
-                                mesh=mesh, exact=ctx and (ctx, pi, 'Y'),
-                                margin=_chunk_margin(plan))
+        rK, rY = fused_results[pair_idx]
 
         first = rK['O'] if cfg.use_raw else rK['ICE']
         preDonuts = {(int(x), int(y)): (fi, o, f, p, q)
