@@ -193,17 +193,221 @@ def main():
         f'{time.time() - t_start:.0f}s')
 
     pixels_per_s = n_cand / dt
+
+    # --- parity: prove the peak table instead of presuming it (round-3
+    # verdict item 2).  The PRODUCTION engine (fused exact-mode path,
+    # float64 host completion + suspect correction) runs on the same
+    # bands and is compared against the float64 NumPy oracle
+    # (tests/oracle/reference_impl.py, a control-flow-faithful replay of
+    # callers.py:44-362): loci must be IDENTICAL, statistics to 1e-8.
+    parity = None
+    if os.environ.get('HICPEAKS_BENCH_PARITY', '1') == '1':
+        t0 = time.time()
+        from hicpeaks_tpu.core.config import HiccupsConfig
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), 'tests'))
+        from oracle import reference_impl as oracle_mod
+        cfg = HiccupsConfig(pw=pw, ww=ww, maxww=maxww, maxapart=maxapart)
+        table = engine_mod.hiccups_chrom(bands, cfg, scan_backend=backend)
+        t_prod = time.time() - t0
+        log(f'parity: production engine table in {t_prod:.1f}s '
+            f'({len(table)} peaks)')
+
+        t0 = time.time()
+        Lc, num_c = int(bands.L), int(bands.num)
+        raw64 = np.asarray(bands.raw[:, :Lc], np.float64)
+        w64 = np.asarray(w, np.float64)            # NaN at invalid bins
+        Md = np.zeros((Lc, Lc))
+        cMd = np.zeros((Lc, Lc))
+        IR_d = {}
+        idx = np.arange(Lc)
+        for d in range(num_c):
+            Md[idx[:Lc - d], idx[:Lc - d] + d] = raw64[d, :Lc - d]
+        for d in range(min(ww), num_c):
+            # sparse-fetch semantics (tests/oracle/prep.py): a pixel with
+            # no stored count is 0.0 in the balanced diagonal — it enters
+            # the IR mean — while NaN (excluded) marks only STORED pixels
+            # at invalid-weight bins; a dense 0*NaN would wrongly exclude
+            # empty pixels at invalid bins and shift IR at the 1e-3 level
+            rr = raw64[d, :Lc - d]
+            cdiag = rr * w64[:Lc - d] * w64[d:Lc]
+            cdiag[rr == 0] = 0.0
+            mask = np.isnan(cdiag)
+            IR_d[d] = cdiag[~mask].mean()
+            cMd[idx[:Lc - d], idx[:Lc - d] + d] = np.where(mask, 0.0, cdiag)
+        B = np.where(bias_vec > 0, bias_vec, 0.0)
+        want = oracle_mod.hiccups(
+            Md, cMd, B, B, IR_d, Lc, num_c, pw=pw, ww=ww,
+            sig=cfg.siglevel, sumq=cfg.sumq, maxww=maxww,
+            maxapart=maxapart, res=res,
+            min_marginal_peaks=cfg.min_marginal_peaks,
+            min_local_reads=cfg.min_local_reads,
+            onlyanchor=cfg.only_anchors)
+        t_oracle = time.time() - t0
+        loci_ok = set(table) == set(want)
+        max_rel = 0.0
+        geom_ok = True
+        for k in (set(table) & set(want)):
+            g = np.asarray(table[k][3:], float)
+            v = np.asarray(want[k][3:], float)
+            geom_ok &= tuple(table[k][:3]) == tuple(want[k][:3])
+            max_rel = max(max_rel, float(np.max(
+                np.abs(g - v) / np.maximum(np.abs(v), 1e-30))))
+        parity = {
+            'ok': bool(loci_ok and geom_ok and max_rel < 1e-8),
+            'loci_identical': bool(loci_ok),
+            'geometry_identical': bool(geom_ok),
+            'max_rel_stat_diff': max_rel,
+            'engine_peaks': len(table),
+            'oracle_peaks': len(want),
+            'oracle_wall_s': round(t_oracle, 1),
+        }
+        log(f'parity vs f64 oracle: ok={parity["ok"]} '
+            f'loci={loci_ok} max_rel={max_rel:.2e} '
+            f'(oracle {t_oracle:.1f}s)')
+
+    # --- hardware-efficiency accounting (round-3 verdict item 5): relate
+    # the px/s headline to what the chip can do.
+    eff = None
+    if os.environ.get('HICPEAKS_BENCH_EFF', '1') == '1':
+        eff = _hw_efficiency(jax, jnp, np, score_ops, capture, bands,
+                             num_p, o_cap, dt, log)
+
     baseline = 20_000.0
-    print(json.dumps({
+    result = {
         'metric': f'pixels-scored/s/chip (hiccups pipeline, {backend} '
                   f'capture, {n_cand} candidates, L={L}@10Kb, '
                   f'{maxapart // 1000000}Mb span)',
         'value': round(pixels_per_s, 1),
         'unit': 'pixels/s',
         'vs_baseline': round(pixels_per_s / baseline, 2),
-    }), flush=True)
+    }
+    if parity is not None:
+        result['parity'] = parity
+    if eff is not None:
+        result['hw_efficiency'] = eff
+    detail = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          'benchmarks', 'BENCH_r04_detail.json')
+    try:
+        with open(detail, 'w') as f:
+            json.dump(dict(result, steady_ms=round(dt * 1e3, 2)), f,
+                      indent=1)
+    except OSError:
+        pass
+    print(json.dumps(result), flush=True)
     # skip interpreter teardown: the tunneled TPU runtime can hang at exit
     os._exit(0)
+
+
+def _hw_efficiency(jax, jnp, np, score_ops, capture, bands, num_p, o_cap,
+                   dt_fused, log):
+    """Roofline accounting for the two dominant stages.
+
+    * pass B (the Pallas capture kernel) is HBM-bandwidth-bound: each grid
+      tile DMAs 4 haloed slabs in and 4*n_p result tiles out; achieved
+      bytes/s is compared against the chip's HBM peak.
+    * the (chunk, count) histogram is the MXU stage: one-hot bf16 matmuls
+      of S*C MACs per pixel; achieved MACs/s is compared against the bf16
+      matmul peak.
+
+    Peaks are for TPU v5e (v5 lite): 819 GB/s HBM, 197 bf16 TFLOP/s.
+    """
+    import time as _time
+    dev_kind = jax.devices()[0].device_kind.lower()
+    is_v5e = 'v5 lite' in dev_kind or 'v5e' in dev_kind
+    HBM_PEAK = 819e9 if is_v5e else None
+    MXU_PEAK = 197e12 if is_v5e else None
+
+    # ---- pass B achieved HBM bandwidth (exact DMA byte count) ----
+    from hicpeaks_tpu.ops import scan as scan_ops_
+    from hicpeaks_tpu.ops.pallas_scan import _choose_tiles, _pad_to
+    from hicpeaks_tpu.core import poolplan as pp
+    plan = tuple(pp.hiccups_pool_plan([2], [5], 10))
+    p_list = (2,)
+    M = scan_ops_._row_margin(plan)
+    Mr, Mc = _pad_to(M, 8), _pad_to(M, 128)
+    Lp = bands.raw.shape[1]
+    R, T = _choose_tiles(num_p, Lp, Mr, Mc, 44 + 8 * len(p_list))
+    num_pad, col_pad = _pad_to(num_p, R), _pad_to(Lp, T)
+    grid = (num_pad // R) * (col_pad // T)
+    read_bytes = grid * 4 * (R + 2 * Mr) * (T + 2 * Mc) * 4
+    write_bytes = 4 * len(p_list) * num_pad * col_pad * 4
+
+    o = capture()
+    s0 = float(jnp.sum(o[p_list[0]][0]))   # forces completion (axon-safe)
+    t0 = _time.perf_counter()
+    iters = 5
+    for _ in range(iters):
+        o = capture()
+    _ = float(jnp.sum(o[p_list[0]][0]))
+    t_passb = (_time.perf_counter() - t0) / iters
+    gbps = (read_bytes + write_bytes) / t_passb / 1e9
+
+    # ---- histogram achieved MXU rate (jnp one-hot matmul backend) ----
+    S, C = 128, o_cap + 1
+    rng = np.random.default_rng(0)
+    n_px = num_p * Lp
+    Oc = jnp.asarray(rng.integers(0, o_cap, n_px, dtype=np.int32))
+    cid = jnp.asarray(rng.integers(1, S, n_px, dtype=np.int32))
+    CH = max(512, min(32768, ((64 << 20) // (2 * C)) // 256 * 256))
+    pad = -(-n_px // CH) * CH - n_px
+    Oc_p = jnp.pad(Oc, (0, pad)).reshape(-1, CH)
+    cid_p = jnp.pad(cid, (0, pad)).reshape(-1, CH)
+
+    hist_fn = jax.jit(lambda a, b: score_ops.chunk_hist(a, b, S, C, 'jnp'))
+    h = hist_fn(Oc_p, cid_p)
+    _ = float(jnp.sum(h))
+    t0 = _time.perf_counter()
+    for _ in range(iters):
+        h = hist_fn(Oc_p, cid_p)
+    _ = float(jnp.sum(h))
+    t_hist = (_time.perf_counter() - t0) / iters
+    # per scan step: [S, CH] @ [CH, C] = S*CH*C MACs; steps = n_px/CH
+    macs = S * C * (Oc_p.shape[0] * CH)
+    tflops = 2 * macs / t_hist / 1e12
+
+    eff = {
+        'device_kind': jax.devices()[0].device_kind,
+        'pass_b': {
+            'dma_bytes_gb': round((read_bytes + write_bytes) / 1e9, 2),
+            'time_ms': round(t_passb * 1e3, 1),
+            'achieved_gbps': round(gbps, 1),
+            'hbm_peak_gbps': HBM_PEAK / 1e9 if HBM_PEAK else None,
+            'pct_of_peak': round(100 * gbps * 1e9 / HBM_PEAK, 1)
+            if HBM_PEAK else None,
+        },
+        'hist_mxu': {
+            'pixels': int(n_px),
+            'time_ms': round(t_hist * 1e3, 1),
+            'achieved_bf16_tflops': round(tflops, 1),
+            'mxu_peak_bf16_tflops': MXU_PEAK / 1e12 if MXU_PEAK else None,
+            'pct_of_peak': round(100 * tflops * 1e12 / MXU_PEAK, 1)
+            if MXU_PEAK else None,
+        },
+        'bound_analysis': (
+            f'pass B moves {((read_bytes + write_bytes) / 1e9):.1f} GB of '
+            f'DMA traffic per call at {gbps:.0f} GB/s achieved'
+            + (f' ({100 * gbps * 1e9 / HBM_PEAK:.0f}% of the 819 GB/s v5e '
+               f'HBM peak); at 100% of peak the same traffic needs '
+               f'{(read_bytes + write_bytes) / HBM_PEAK * 1e3:.1f} ms — '
+               if HBM_PEAK else '; ')
+            + f'the full fused round ({dt_fused * 1e3:.1f} ms steady) is '
+            f'therefore within '
+            f'{dt_fused / ((read_bytes + write_bytes) / (HBM_PEAK or 1e12)):.1f}x '
+            f'of the bandwidth-bound speed of light for its dominant '
+            f'stage.  The histogram sustains {tflops:.0f} bf16 TFLOP/s '
+            f'on the MXU'
+            + (f' ({100 * tflops * 1e12 / MXU_PEAK:.0f}% of peak); its '
+               f'one-hot operands are 0/1 so the arithmetic is exact.'
+               if MXU_PEAK else '.')),
+    }
+    log(f'hw_efficiency: pass B {gbps:.0f} GB/s'
+        + (f' ({eff["pass_b"]["pct_of_peak"]}% of HBM peak)' if HBM_PEAK
+           else '')
+        + f', hist {tflops:.0f} TFLOP/s'
+        + (f' ({eff["hist_mxu"]["pct_of_peak"]}% of MXU peak)'
+           if MXU_PEAK else ''))
+    return eff
 
 
 def _parent():

@@ -30,7 +30,20 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 HERE = os.path.dirname(os.path.abspath(__file__))
-OUT_PATH = os.path.join(HERE, 'GENOME_E2E_r03.json')
+OUT_PATH = os.path.join(HERE, os.environ.get(
+    'GE_OUT', 'GENOME_E2E_r04.json'))
+
+# hg38 chromosome sizes (reference example/hg38.chromsizes).  The K562
+# benchmark genome is female-derived: chr1-22 + X = 23 chromosomes, the
+# set the reference's README.rst:291 whole-genome walls cover.
+HG38 = {
+    '1': 248956422, '2': 242193529, '3': 198295559, '4': 190214555,
+    '5': 181538259, '6': 170805979, '7': 159345973, '8': 145138636,
+    '9': 138394717, '10': 133797422, '11': 135086622, '12': 133275309,
+    '13': 114364328, '14': 107043718, '15': 101991189, '16': 90338345,
+    '17': 83257441, '18': 80373285, '19': 58617616, '20': 64444167,
+    '21': 46709983, '22': 50818468, 'X': 156040895,
+}
 
 
 def log(msg):
@@ -81,6 +94,7 @@ def main():
 
     log(f'devices: {jax.devices()}')
     backend = os.environ.get('GE_BACKEND', 'auto')
+    hg38_mode = os.environ.get('GE_HG38', '1') == '1'
     n_chroms = int(os.environ.get('GE_CHROMS', 4))
     L = int(os.environ.get('GE_L', 24900))
     res = 10000
@@ -95,22 +109,35 @@ def main():
         os.remove(path)
     uri = f'{path}::{res}'
     t0 = time.time()
+    # chromosome plan: the REAL hg38 length distribution by default
+    # (round-3 verdict weak #4: 4 identical-length chromosomes x 23/4
+    # undercounts both the per-shape-bucket compiles and the small-
+    # chromosome tails), or GE_CHROMS identical chr1-scale chromosomes
+    # with GE_HG38=0 (the old extrapolating mode)
+    if hg38_mode:
+        chrom_plan = [(c, bp // res) for c, bp in HG38.items()]
+    else:
+        chrom_plan = [(str(i + 1), L) for i in range(n_chroms)]
     sizes, chunks, weights = {}, [], []
     offset = 0
     total_contacts = 0
-    for i in range(n_chroms):
-        c = str(i + 1)
+    L_ref = 24900
+    for i, (c, Lc) in enumerate(chrom_plan):
+        # loop count and depth scale with length so coverage per bin (and
+        # hence the count distribution the scorer sees) matches the
+        # chr1-scale calibration
         b1, b2, ct, _, bias = synthesize_chrom(
-            n_bins=L, res=res, seed=100 + i, depth=40.0, n_loops=n_loops,
-            decay=0.75, max_loop_span_bins=num - maxww - 54)
-        sizes[c] = L * res
+            n_bins=Lc, res=res, seed=100 + i, depth=40.0,
+            n_loops=max(50, int(n_loops * Lc / L_ref)),
+            decay=0.75, max_loop_span_bins=min(num - maxww - 54, Lc - 60))
+        sizes[c] = Lc * res
         chunks.append({'bin1_id': b1 + offset, 'bin2_id': b2 + offset,
                        'count': ct})
-        w = np.full(L, np.nan)
+        w = np.full(Lc, np.nan)
         ok = bias > 0
         w[ok] = 1.0 / bias[ok]
         weights.append(w)
-        offset += L
+        offset += Lc
         total_contacts += int(ct.size)
     create_cooler_file(uri, binnify(sizes, res), chunks,
                        metadata={'onlyIntra': 'True'})
@@ -154,30 +181,46 @@ def main():
     t_bgenome = time.time() - t0
     log(f'bhfdr measured pass: {t_bgenome:.1f}s')
 
-    per_chrom = t_genome / n_chroms
-    genome23 = per_chrom * 23
-    bh23 = t_bgenome / n_chroms * 23
+    n_run = len(chrom_plan)
+    if hg38_mode:
+        # MEASURED full-genome walls, no extrapolation: the warm pass is
+        # the true cold genome run (every shape bucket pays its compile),
+        # the second pass the steady re-run
+        genome23, bh23 = t_warm, t_bwarm
+        genome23_steady, bh23_steady = t_genome, t_bgenome
+    else:
+        genome23 = t_genome / n_run * 23
+        bh23 = t_bgenome / n_run * 23
+        genome23_steady, bh23_steady = genome23, bh23
     ref_wall = 7053.0
     ref_bh_wall = 1493.0
     rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
     result = {
-        'config': {'n_chroms': n_chroms, 'L': L, 'res': res,
+        'config': {'n_chroms': n_run, 'res': res,
+                   'hg38_lengths': hg38_mode,
+                   'chrom_bins': dict(chrom_plan),
                    'maxapart': maxapart, 'num': num, 'pw': [2], 'ww': [5],
                    'backend': backend, 'contacts': total_contacts},
+        'extrapolated': not hg38_mode,
         'synth_and_ingest_s': round(t_synth, 1),
-        'warm_pass_s': round(t_warm, 1),
+        'cold_genome_pass_s': round(t_warm, 1),
         'steady_genome_pass_s': round(t_genome, 1),
-        'steady_per_chrom_s': round(per_chrom, 2),
-        'extrapolated_23_chrom_genome_s': round(genome23, 1),
+        '23_chrom_genome_s': round(genome23, 1),
+        '23_chrom_genome_steady_s': round(genome23_steady, 1),
         'reference_genome_wall_s': ref_wall,
-        'vs_reference_wall': round(ref_wall / genome23, 1),
+        'vs_reference_wall_incl_compile': round(ref_wall / genome23, 1),
+        'vs_reference_wall_steady': round(ref_wall / genome23_steady, 1),
         'peaks': peaks,
         'passes_identical': tables == tables2,
-        'bhfdr': {'maxapart': 2_000_000, 'warm_pass_s': round(t_bwarm, 1),
+        'bhfdr': {'maxapart': 2_000_000,
+                  'cold_genome_pass_s': round(t_bwarm, 1),
                   'steady_genome_pass_s': round(t_bgenome, 1),
-                  'extrapolated_23_chrom_genome_s': round(bh23, 1),
+                  '23_chrom_genome_s': round(bh23, 1),
                   'reference_genome_wall_s': ref_bh_wall,
-                  'vs_reference_wall': round(ref_bh_wall / bh23, 1),
+                  'vs_reference_wall_incl_compile': round(
+                      ref_bh_wall / bh23, 1),
+                  'vs_reference_wall_steady': round(
+                      ref_bh_wall / bh23_steady, 1),
                   'peaks': bpeaks,
                   'passes_identical': btables == btables2},
         'peak_rss_gb': round(rss_gb, 2),
@@ -186,10 +229,13 @@ def main():
     disarm()
     with open(OUT_PATH, 'w') as f:
         json.dump(result, f, indent=1)
-    print(json.dumps({'metric': 'genome-e2e 23-chrom extrapolated wall',
-                      'value': result['extrapolated_23_chrom_genome_s'],
+    print(json.dumps({'metric': 'genome-e2e 23-chrom wall'
+                      + (' (measured, hg38 lengths, incl. compile)'
+                         if hg38_mode else ' (extrapolated)'),
+                      'value': result['23_chrom_genome_s'],
                       'unit': 's',
-                      'vs_baseline': result['vs_reference_wall']}),
+                      'vs_baseline':
+                          result['vs_reference_wall_incl_compile']}),
           flush=True)
 
 
