@@ -481,7 +481,14 @@ def _resolve_scan_impl(scan_backend):
     """'auto'/'pallas'/'jnp'/'pallas-interpret' -> a concrete single-device
     scan implementation, or None when the backend is one the fused
     single-program path cannot serve ('validate' needs two dispatches and
-    a host comparison)."""
+    a host comparison).  HICPEAKS_DISABLE_FUSED=1 forces the
+    multi-dispatch ladder (benchmark decomposition knob: it is the same
+    per-stage structure a mesh run uses, so sharded-vs-this isolates the
+    actual collective/halo cost from the dispatch-structure cost,
+    benchmarks/weak_scaling.py)."""
+    import os
+    if os.environ.get('HICPEAKS_DISABLE_FUSED') == '1':
+        return None
     if scan_backend == 'auto':
         return 'pallas' if jax.default_backend() == 'tpu' else 'jnp'
     if scan_backend in ('pallas', 'jnp', 'pallas-interpret'):

@@ -79,14 +79,21 @@ def ir_sharded(raw, w0, nanw, L, ww_min, num, mesh):
     replicated vectors, padded to ``raw.shape[1]``.  Returns a replicated
     [num_p] vector in ``w0.dtype``.
     """
-    from ..ops.score import shear_bcast
-
     num_p, Lp = raw.shape
     w0 = jnp.asarray(w0)
     nanw = jnp.asarray(nanw)
     if w0.shape[0] < Lp:
         w0 = jnp.pad(w0, (0, Lp - w0.shape[0]))
         nanw = jnp.pad(nanw, (0, Lp - nanw.shape[0]))
+    return _ir_sharded_fn(int(num_p), int(L), int(ww_min), int(num),
+                          mesh)(raw, w0, nanw)
+
+
+@functools.lru_cache(maxsize=64)
+def _ir_sharded_fn(num_p, L, ww_min, num, mesh):
+    # jit cached per (shape, mesh): a fresh jax.jit wrapper per call
+    # re-traces and re-compiles every invocation (_pass_a_sharded_fn)
+    from ..ops.score import shear_bcast
 
     @functools.partial(shard_map, mesh=mesh,
                        in_specs=(P(None, HALO_AXIS), P(), P()),
@@ -115,7 +122,7 @@ def ir_sharded(raw, w0, nanw, L, ww_min, num, mesh):
         IR = csum / denom
         return jnp.where((d < ww_min) | (d >= num), 0.0, IR)
 
-    return jax.jit(run)(raw, w0, nanw)
+    return jax.jit(run)
 
 
 def chunk_hist_sharded(O, cid, valid, S, C, hist_backend, mesh):
@@ -147,18 +154,14 @@ def _resolve_backend(scan_backend):
     return scan_backend
 
 
-def scan_pass_a_sharded(raw, cand_mask, plan, p_list, thr, mesh,
-                        scan_backend='auto'):
-    """Sharded freeze-count pass; returns globally psum-reduced counts.
-
-    With a Pallas backend the fused VMEM count kernel runs on each
-    device's halo-extended local slab INSIDE shard_map (GSPMD cannot
-    partition a pallas_call, but shard_map hands the kernel an
-    already-local array — round-2 verdict weak #2: mesh runs used to
-    fall back to the ~O(plan)-pass jnp scan)."""
+@functools.lru_cache(maxsize=64)
+def _pass_a_sharded_fn(plan, p_list, thr, mesh, backend):
+    """Build-and-jit once per (plan, mesh, backend): a fresh ``jax.jit``
+    wrapper per call re-traces AND re-compiles every invocation — the
+    round-3 weak-scaling artifact's 20-40x sharded-scan overhead at
+    n=1-2 was exactly this, not collectives."""
     n = mesh.devices.size
     H = 2 * max(e.w for e in plan)
-    backend = _resolve_backend(scan_backend)
 
     @functools.partial(shard_map, mesh=mesh,
                        in_specs=(P(None, HALO_AXIS), P(None, HALO_AXIS)),
@@ -178,20 +181,30 @@ def scan_pass_a_sharded(raw, cand_mask, plan, p_list, thr, mesh,
                                     thr, allowed, False)
         return jax.lax.psum(counts, HALO_AXIS)
 
-    return jax.jit(run)(raw, cand_mask)
+    return jax.jit(run)
 
 
-def scan_pass_b_sharded(raw, cband, eband, cand_mask, allowed, plan, p_list,
-                        thr, mesh, scan_backend='auto'):
-    """Sharded capture pass; capture tensors come back sharded along tiles.
+def scan_pass_a_sharded(raw, cand_mask, plan, p_list, thr, mesh,
+                        scan_backend='auto'):
+    """Sharded freeze-count pass; returns globally psum-reduced counts.
 
-    Pallas backends run the fused capture kernel per shard (see
-    :func:`scan_pass_a_sharded`); the freeze counts then come back as
-    None — the engine's pass A already produced them."""
+    With a Pallas backend the fused VMEM count kernel runs on each
+    device's halo-extended local slab INSIDE shard_map (GSPMD cannot
+    partition a pallas_call, but shard_map hands the kernel an
+    already-local array — round-2 verdict weak #2: mesh runs used to
+    fall back to the ~O(plan)-pass jnp scan)."""
+    backend = _resolve_backend(scan_backend)
+    return _pass_a_sharded_fn(tuple(plan), tuple(p_list), int(thr), mesh,
+                              backend)(raw, cand_mask)
+
+
+@functools.lru_cache(maxsize=64)
+def _pass_b_sharded_fn(plan, p_list, thr, mesh, backend):
+    """Once-per-(plan, mesh, backend) jitted sharded capture pass (see
+    :func:`_pass_a_sharded_fn` for why the jit must be cached)."""
     n = mesh.devices.size
     H = 2 * max(e.w for e in plan)
     band_spec = P(None, HALO_AXIS)
-    backend = _resolve_backend(scan_backend)
 
     if backend in ('pallas', 'pallas-interpret'):
         @functools.partial(
@@ -211,8 +224,7 @@ def scan_pass_b_sharded(raw, cband, eband, cand_mask, allowed, plan, p_list,
             crop = lambda a: a[:, H:-H]
             return {p: [crop(v) for v in o] for p, o in outs.items()}
 
-        outs = jax.jit(run_pallas)(raw, cband, eband, cand_mask, allowed)
-        return None, None, outs
+        return jax.jit(run_pallas), True
 
     @functools.partial(
         shard_map, mesh=mesh,
@@ -233,4 +245,20 @@ def scan_pass_b_sharded(raw, cband, eband, cand_mask, allowed, plan, p_list,
         outs = {p: [crop(v) for v in o] for p, o in outs.items()}
         return jax.lax.psum(counts, HALO_AXIS), captured, outs
 
-    return jax.jit(run)(raw, cband, eband, cand_mask, allowed)
+    return jax.jit(run), False
+
+
+def scan_pass_b_sharded(raw, cband, eband, cand_mask, allowed, plan, p_list,
+                        thr, mesh, scan_backend='auto'):
+    """Sharded capture pass; capture tensors come back sharded along tiles.
+
+    Pallas backends run the fused capture kernel per shard (see
+    :func:`scan_pass_a_sharded`); the freeze counts then come back as
+    None — the engine's pass A already produced them."""
+    backend = _resolve_backend(scan_backend)
+    fn, is_pallas = _pass_b_sharded_fn(tuple(plan), tuple(p_list), int(thr),
+                                       mesh, backend)
+    if is_pallas:
+        outs = fn(raw, cband, eband, cand_mask, allowed)
+        return None, None, outs
+    return fn(raw, cband, eband, cand_mask, allowed)
