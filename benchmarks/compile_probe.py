@@ -112,6 +112,16 @@ def main():
     t_compile = time.time() - t0
     line = (f'{case}:{enc} num={num} L={L} lower={t_lower:.1f}s '
             f'compile={t_compile:.1f}s')
+    if os.environ.get('CP_SERIALIZE') == '1':
+        t0 = time.time()
+        try:
+            blobs = [compiled.runtime_executable().serialize()]
+        except Exception as e:
+            blobs = []
+            line += f' serialize=FAILED({type(e).__name__})'
+        if blobs:
+            line += (f' serialize={time.time() - t0:.1f}s '
+                     f'({sum(len(b) for b in blobs) / 1e6:.1f}MB)')
     if os.environ.get('CP_EXEC') == '1':
         import jax.numpy as jnp
 

@@ -105,7 +105,8 @@ def main():
     cfg = HiccupsConfig(pw=(2,), ww=(5,), maxww=maxww, maxapart=maxapart)
 
     path = '/tmp/genome_e2e.cool'
-    if os.path.exists(path):
+    reuse = os.environ.get('GE_REUSE') == '1' and os.path.exists(path)
+    if os.path.exists(path) and not reuse:
         os.remove(path)
     uri = f'{path}::{res}'
     t0 = time.time()
@@ -122,7 +123,7 @@ def main():
     offset = 0
     total_contacts = 0
     L_ref = 24900
-    for i, (c, Lc) in enumerate(chrom_plan):
+    for i, (c, Lc) in enumerate(chrom_plan if not reuse else []):
         # loop count and depth scale with length so coverage per bin (and
         # hence the count distribution the scorer sees) matches the
         # chr1-scale calibration
@@ -139,16 +140,28 @@ def main():
         weights.append(w)
         offset += Lc
         total_contacts += int(ct.size)
-    create_cooler_file(uri, binnify(sizes, res), chunks,
-                       metadata={'onlyIntra': 'True'})
-    CoolerLite(uri).write_weights(np.concatenate(weights))
+    if not reuse:
+        create_cooler_file(uri, binnify(sizes, res), chunks,
+                           metadata={'onlyIntra': 'True'})
+        CoolerLite(uri).write_weights(np.concatenate(weights))
     t_synth = time.time() - t0
-    log(f'{n_chroms}-chromosome cooler ({total_contacts} contacts) '
-        f'built in {t_synth:.0f}s')
+    log(f'{len(chrom_plan)}-chromosome cooler '
+        f'({total_contacts or "reused"} contacts) '
+        f'{"reused" if reuse else "built"} in {t_synth:.0f}s')
+
+    # one shape bucket (every chromosome lane-pads to the largest) =
+    # ONE compiled executable on the cold path: the tunneled backend pays
+    # a variable 100-600s first-materialization stall PER executable
+    # (benchmarks/compile_probe.py), so 5 buckets cost ~30min of cold
+    # wall while the padded compute costs pennies (0.1-0.4s/chrom more)
+    bucket = int(os.environ.get('GE_BUCKET', 32768 if hg38_mode else 4096))
+    # '#' + 'X' = the K562 genome the reference's walls cover (23 chroms;
+    # the round-3 artifact's chroms=['#'] silently dropped X)
+    sel = ['#', 'X']
 
     def run():
-        return api.call_hiccups(uri, cfg, chroms=['#'],
-                                scan_backend=backend, shape_bucket=4096)
+        return api.call_hiccups(uri, cfg, chroms=sel,
+                                scan_backend=backend, shape_bucket=bucket)
 
     t0 = time.time()
     tables = run()
@@ -168,8 +181,8 @@ def main():
     bcfg = BHFDRConfig(pw=2, ww=5, maxapart=2_000_000)
 
     def run_bhfdr():
-        return api.call_bhfdr(uri, bcfg, chroms=['#'],
-                              scan_backend=backend, shape_bucket=4096)
+        return api.call_bhfdr(uri, bcfg, chroms=sel,
+                              scan_backend=backend, shape_bucket=bucket)
 
     t0 = time.time()
     btables = run_bhfdr()
@@ -197,6 +210,7 @@ def main():
     rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
     result = {
         'config': {'n_chroms': n_run, 'res': res,
+                   'shape_bucket': bucket,
                    'hg38_lengths': hg38_mode,
                    'chrom_bins': dict(chrom_plan),
                    'maxapart': maxapart, 'num': num, 'pw': [2], 'ww': [5],

@@ -84,6 +84,21 @@ def _compact_slab(bands: ChromBands, split=True):
                         _SLAB_WIDTHS.index(b) + 1]))[0]
                     d = int(big[-1]) + 1 if big.size else 0
                     cuts.append(min(-(-d // 64) * 64, n_rows))
+                # prefer FIXED cut positions (a function of the row count
+                # alone) whenever the data admits them: the cut tuple is
+                # a static argument of the fused chromosome program, so
+                # data-driven cuts compile one executable per chromosome
+                # while fixed cuts share one across the genome (the
+                # traced-L change makes that sharing real).  Fixed cuts
+                # are valid iff each is >= the data-required boundary;
+                # otherwise the exact data-driven cuts stand (losslessness
+                # is never traded for sharing).
+                ru64 = lambda v: min(-(-v // 64) * 64, n_rows)
+                fixed = [min(64, n_rows), ru64(n_rows // 4),
+                         ru64(n_rows // 2)]
+                fixed = sorted(fixed)    # monotone for tiny row counts
+                if all(f >= c for f, c in zip(fixed, cuts)):
+                    cuts = fixed
                 cuts = [0] + cuts + [n_rows]
                 parts, bits = [], []
                 for b, lo, hi in zip(_SLAB_WIDTHS, cuts[:-1], cuts[1:]):
@@ -366,7 +381,7 @@ def _compact_one(raw, cband, IR, Bprod, bSV, bEV, cand, gap_drop, sig, wi,
             g(O), g(ICE), g(Fold), g(pval), g(qval), prod, sus_bundle)
 
 
-@functools.partial(jax.jit, static_argnames=('wi', 'L', 'chunked', 'o_cap',
+@functools.partial(jax.jit, static_argnames=('wi', 'chunked', 'o_cap',
                                              'keep_cap', 'hist_backend',
                                              'mesh', 'exact_mode', 'sus_cap',
                                              'margin'))
@@ -434,7 +449,7 @@ def _score_device_compact_pair(raw, cband, IR, Bprod, KS, KE, YS, YE, cand,
     return outK, outY
 
 
-@functools.partial(jax.jit, static_argnames=('L', 'chunked', 'o_cap',
+@functools.partial(jax.jit, static_argnames=('chunked', 'o_cap',
                                              'keep_cap', 'hist_backend',
                                              'mesh', 'exact_mode', 'sus_cap',
                                              'margin'))
@@ -507,7 +522,7 @@ def _scan_calls(scan_impl):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    'plan', 'p_list', 'thr', 'ww_t', 'wis', 'ww_min', 'L', 'd_lo', 'd_hi',
+    'plan', 'p_list', 'thr', 'ww_t', 'wis', 'ww_min', 'd_lo', 'd_hi',
     'gap_s', 'o_cap', 'keep_cap', 'hist_backend', 'bits', 'scan_impl',
     'exact_mode', 'sus_cap', 'margin'))
 def _fused_hiccups_device(raw_op, w0, bias, IR, gap, sig, total, t_left,
@@ -541,7 +556,7 @@ def _fused_hiccups_device(raw_op, w0, bias, IR, gap, sig, total, t_left,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    'plan', 'p_list', 'thr', 'wi', 'ww_min', 'L', 'd_lo', 'd_hi', 'gap_s',
+    'plan', 'p_list', 'thr', 'wi', 'ww_min', 'd_lo', 'd_hi', 'gap_s',
     'keep_cap', 'bits', 'scan_impl'))
 def _fused_bhfdr_device(raw_op, w0, bias, IR, gap, sig, total, t_left,
                         plan, p_list, thr, wi, ww_min, L, d_lo, d_hi,
@@ -736,8 +751,13 @@ def _bh_plan(chunked, bh_backend, max_count):
     o_cap = None
     if chunked and bh_backend == 'device' and max_count is not None and \
             max_count <= (1 << 17):
-        # power-of-two cap so chromosomes share compiled programs
-        o_cap = 256
+        # power-of-two cap so chromosomes share compiled programs; the
+        # floor is 1024 because typical per-chromosome max counts straddle
+        # 256-1000 and o_cap is a static argument of the fused program —
+        # a genome whose chromosomes landed on 256/512/1024 would compile
+        # (and pay the remote backend's per-executable stall) three times
+        # for a few ms of histogram width
+        o_cap = 1024
         while o_cap < int(max_count):
             o_cap *= 2
     return bh_backend, o_cap
@@ -883,7 +903,7 @@ def _score_pair(raw, cband, IR, Bprod, KS, KE, YS, YE, wi, cand, L, sig,
     return None
 
 
-@functools.partial(jax.jit, static_argnames=('wi', 'L', 'keep_cap'))
+@functools.partial(jax.jit, static_argnames=('wi', 'keep_cap'))
 def _score_device_bhfdr_compact(raw, cband, IR, Bprod, bSV, bEV, cand,
                                 gap_drop, sig, wi, L, keep_cap):
     """Global-BH (bhfdr, callers.py:545) scoring with NO device sort and

@@ -100,13 +100,17 @@ def build_sheets_device(raw, w0, bias, IR, gap, ww_min, L, d_lo, d_hi,
         raw = tuple(raw)
         if bits is None:
             bits = (None,) * len(raw)
+    # L stays a traced operand (it may already be a tracer when this runs
+    # inside the fused chromosome program): chromosomes of one shape
+    # bucket share the compiled executable across different logical
+    # lengths
     return _build_sheets_jit(raw, w0, bias, IR, gap, ww_min=int(ww_min),
-                             L=int(L), d_lo=int(d_lo), d_hi=int(d_hi),
+                             L=L, d_lo=int(d_lo), d_hi=int(d_hi),
                              gap_s=int(gap_s),
                              bits=tuple(bits) if bits is not None else None)
 
 
-@functools.partial(jax.jit, static_argnames=('ww_min', 'L', 'd_lo',
+@functools.partial(jax.jit, static_argnames=('ww_min', 'd_lo',
                                              'd_hi', 'gap_s', 'bits'))
 def _build_sheets_jit(raw, w0, bias, IR, gap, ww_min, L, d_lo, d_hi,
                       gap_s, bits=None):
@@ -320,13 +324,20 @@ def compact_mask(keep, cap):
     R, C = keep.shape
     n = R * C
     csum = _cumsum_2l(keep.reshape(-1).astype(jnp.int32))
-    cnt = csum[-1]
     # block width: the inner count costs cap*block compares + a
     # [cap, block] row gather, so shrink blocks for the large retry caps
     W = 512 if cap <= (1 << 14) else 128
     nb = -(-n // W)
-    cs_b = jnp.pad(csum, (0, nb * W - n),
-                   constant_values=csum[-1]).reshape(nb, W)
+    # edge-mode pad replicates csum[-1] like the former
+    # constant_values=csum[-1] — but WITHOUT a scalar index into the flat
+    # n-element cumsum: that single `csum[-1]` made XLA:TPU emit ~15MB of
+    # generated code for this routine (measured; ~1.7MB without), and at
+    # 4 instantiations per fused chromosome program the resulting
+    # ~100MB executable dominated cold start on the remote backend
+    # (upload stall scales with binary size).  cnt still reads the same
+    # materialized cumsum, only through the 2-D view.
+    cs_b = jnp.pad(csum, (0, nb * W - n), mode='edge').reshape(nb, W)
+    cnt = cs_b[-1, -1]
     targets = jnp.arange(1, cap + 1, dtype=jnp.int32)
     b = jnp.minimum(jnp.searchsorted(cs_b[:, -1], targets, side='left'),
                     nb - 1)
@@ -775,29 +786,45 @@ def gap_vector(cband):
     return jnp.sum(cband, axis=0) == 0
 
 
+def _shift1(A, k):
+    """out[i] = A[i+k], zero outside bounds (k static)."""
+    n = A.shape[0]
+    if k == 0:
+        return A
+    if abs(k) >= n:
+        return jnp.zeros_like(A)
+    if k > 0:
+        return jnp.concatenate([A[k:], jnp.zeros(k, A.dtype)])
+    return jnp.concatenate([jnp.zeros(-k, A.dtype), A[:k]])
+
+
 def gap_reject_device(gap, num_p, L, s):
     """Device-side twin of :func:`gap_reject_host`: drop[d, x] = any gap
     bin inside the reference's exclusive-upper windows around x or
-    y = x + d (callers.py:291-312).  The windowed counts come from shifted
-    slices of a cumulative sum (no gathers); the y-side sheet from
-    :func:`shear_bcast`.  ``L`` and ``s`` are static under jit, so the
-    edge clamping resolves to fixed slice/concat shapes."""
+    y = x + d (callers.py:291-312).  The windowed counts come from
+    STATIC shifts of a cumulative sum plus traced edge masks (no
+    gathers), so ``L`` may be a traced scalar — chromosomes of one shape
+    bucket then share a single compiled executable (the former static-L
+    slicing forced one compile per distinct chromosome length, the real
+    cold-start cost of a genome run).  ``s`` stays static (config).
+
+    Host semantics replicated exactly (window [max(pos-s,0),
+    min(pos+s, L-1)) — exclusive upper, clamped to L-1 so the last bin
+    never counts when the window is cut short at the chromosome end):
+    with G[k] = sum g[:k], cnt = G[upper] - G[lower]."""
     Lp = gap.shape[0]
-    g = gap[:L].astype(jnp.int32)
-    G = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(g)])  # [L+1]
-    # host: lower = pos - s if pos > s else 0; upper = max(min(pos+s, L-1),
-    # lower).  A[0] == 0, so Gl needs s+1 leading zeros; for s >= L every
-    # window degenerates to G[L-1] - G[0].
-    if s >= L:
-        cnt = jnp.broadcast_to(G[L - 1], (L,))
-    else:
-        Gl = jnp.concatenate([jnp.zeros(s + 1, jnp.int32), G[1:L - s]])
-        Gu = jnp.concatenate([G[s:L],
-                              jnp.broadcast_to(G[L - 1], (min(s, L),))])
-        cnt = Gu - Gl
-    cnt_full = jnp.concatenate([cnt, jnp.zeros(Lp - L, jnp.int32)])
-    cnt_y = shear_bcast(cnt_full, num_p)
-    return (cnt_full[None, :] + cnt_y) > 0
+    pos = jnp.arange(Lp)
+    g = (gap & (pos < L)).astype(jnp.int32)
+    A = jnp.cumsum(g)                       # A[i] = G[i+1]
+    total = A[-1]                           # = G[L] (g zero beyond L)
+    g_last = jnp.sum(jnp.where(pos == L - 1, g, 0))
+    # upper branch pos+s < L: G[pos+s] = A[pos+s-1]; else G[L-1]
+    Gu = jnp.where(pos + s < L, _shift1(A, s - 1), total - g_last)
+    # lower branch pos > s: G[pos-s] = A[pos-s-1]; else G[0] = 0
+    Gl = jnp.where(pos > s, _shift1(A, -(s + 1)), 0)
+    cnt = jnp.where(pos < L, Gu - Gl, 0)
+    cnt_y = shear_bcast(cnt, num_p)
+    return (cnt[None, :] + cnt_y) > 0
 
 
 def gap_reject_host(gap, num_p, L, s):

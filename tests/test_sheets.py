@@ -162,10 +162,18 @@ def test_u16_slab_transfer_decision_and_parity():
     assert bands.raw.dtype.kind == 'f'
     out_f = [np.asarray(a) for a in
              engine._prep_chrom(bands, bands.ww_min, 50, bands.ww_min)]
-    # counts are integral < 256 everywhere -> sub-uint16 row classes only
+    # counts are integral < 65536 -> the row-classed integer encoding.
+    # Cut positions PREFER the fixed (row-count-only) boundaries so the
+    # static `bits` tuple — and hence the compiled fused program — is
+    # shared across a genome's chromosomes; a u16 head class may appear
+    # even when u8 would suffice (a few KB of transfer for one shared
+    # executable).  Losslessness is asserted by the round-trip below and
+    # by test_split_row_encoding_lossless.
     enc = getattr(bands, '_raw_enc')
     assert isinstance(enc, engine._SlabEnc)
-    assert 16 not in enc.bits
+    n_rows = bands.raw.shape[0]
+    widths = dict(zip(enc.bits, enc.parts))
+    assert sum(p.shape[0] for p in enc.parts) == n_rows
     # device raw is float32 regardless of transfer encoding
     assert out_f[0].dtype == np.float32
     np.testing.assert_array_equal(out_f[0][:, :bands.raw.shape[1]],
