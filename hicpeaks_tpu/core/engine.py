@@ -425,7 +425,71 @@ def _score_device_compact_checked(raw, cband, IR, Bprod, bSV, bEV, cand,
             raw, cband, IR, Bprod, bSV, bEV, cand, gap_drop, sig)
 
 
-@functools.partial(jax.jit, static_argnames=('wi', 'L', 'chunked', 'o_cap',
+def _compact_batched(raw, cband, IR, Bprod, BSV, BEV, wis_t, cand, gap_drop,
+                     sig, L, o_cap, keep_cap, hist_backend, exact_mode,
+                     sus_cap, margin):
+    """All ``B`` backgrounds (every (p, w) pair x {K, Y}) scored in ONE
+    batched body — the anti-unrolling form of the chunked scorer.
+
+    The former lax.scan-over-pairs formulation was fully unrolled by
+    XLA:TPU (4.8x generated-code growth from 1 to 2 pairs; the fused
+    chromosome executable reached ~114MB, and the remote backend's
+    per-executable first-materialization stall scales with binary size).
+    Here the per-background elementwise stages broadcast over a leading
+    [B] axis, all B histograms ride ONE kernel call with offset chunk
+    rows (ops/score.chunk_bh_keep_batched), and the compactions /
+    per-pixel gathers go through jax.vmap — whose batching rules emit
+    single batched ops instead of B copies.
+
+    Semantics are _compact_one's, background by background: identical
+    histograms (each background's pixels land in its own 128-row block
+    with its own trash row b*128), identical keep thresholds, identical
+    compaction order.  Returns the 10-slot bundle with a leading [B]
+    axis on every leaf (slot 8 = the dense EM*ratio product stacked
+    [B, num_p, Lp]; slot 9 = the stacked suspect bundle or ())."""
+    wi_b = wis_t[:, None, None]
+    E, O, ICE, Fold, scored, prod = score_ops.expected_observed(
+        raw, cband, IR, Bprod, BSV, BEV, wi_b, cand, L)
+    B = E.shape[0]
+    Ob = jnp.broadcast_to(O, E.shape)
+    ICEb = jnp.broadcast_to(ICE, E.shape)
+    cid, rv, valid = score_ops.lambda_chunks(E, scored)
+    keep_q, _qtab, hist, thr2 = score_ops.chunk_bh_keep_batched(
+        Ob, cid, valid, sig, B, o_cap=o_cap, hist_backend=hist_backend,
+        slack=_BH_SLACK)
+    hist_b = hist.reshape(B, 128, o_cap + 1)
+    keep = scored & keep_q & ~gap_drop
+    sus_bundle = ()
+    if exact_mode:
+        sus = score_ops.lambda_suspects(E, scored, margin)
+        keep = keep & ~sus
+        cnt_s, d_s, x_s = jax.vmap(
+            lambda k: score_ops.compact_mask(k, sus_cap))(sus)
+        gsb = jax.vmap(lambda a, d, x: a[d, x])               # per-bg sheet
+        gsu = jax.vmap(lambda a, d, x: a[d, x], (None, 0, 0))  # shared sheet
+        cid_s = jnp.where(gsb(valid, d_s, x_s), gsb(cid, d_s, x_s), 0)
+        O_s = jnp.clip(jnp.floor(gsu(O, d_s, x_s)), 0, o_cap) \
+            .astype(jnp.int32)
+        sus_bundle = (cnt_s, d_s, x_s, cid_s, O_s,
+                      gsu(gap_drop, d_s, x_s), thr2)
+    cnt, d_idx, x_idx = jax.vmap(
+        lambda k: score_ops.compact_mask(k, keep_cap))(keep)
+    gb = jax.vmap(lambda a, d, x: a[d, x])
+    cid_g = jnp.where(gb(valid, d_idx, x_idx), gb(cid, d_idx, x_idx), 0)
+    return (cnt, d_idx, x_idx,
+            gb(Ob, d_idx, x_idx), gb(ICEb, d_idx, x_idx),
+            gb(Fold, d_idx, x_idx), cid_g, hist_b, prod, sus_bundle)
+
+
+def _bundle_slice(out, lo, hi):
+    """Slice every leaf of a batched 10-slot bundle along its leading
+    axis (slot 9 is a nested tuple or ())."""
+    head = tuple(a[lo:hi] for a in out[:9])
+    sus = tuple(a[lo:hi] for a in out[9]) if out[9] else ()
+    return head + (sus,)
+
+
+@functools.partial(jax.jit, static_argnames=('wi', 'chunked', 'o_cap',
                                              'keep_cap', 'hist_backend',
                                              'mesh', 'exact_mode', 'sus_cap',
                                              'margin'))
@@ -435,9 +499,19 @@ def _score_device_compact_pair(raw, cband, IR, Bprod, KS, KE, YS, YE, cand,
                                mesh=None, exact_mode=False,
                                sus_cap=_SUS_CAP, margin=0.0):
     """Both backgrounds (donut 'K' and lower-left 'Y', callers.py:319-339)
-    scored in ONE program: XLA shares the iota/valid/candidate
-    subexpressions and the host pays a single dispatch + fetch round trip
-    per (p, w) pair instead of two."""
+    scored in ONE program via the batched body (off mesh); mesh callers
+    keep the two-call form (the batched histogram offsets would need a
+    sharded [2S, C] reduction)."""
+    if mesh is None and chunked and o_cap is not None:
+        BSV = jnp.stack([KS, YS])
+        BEV = jnp.stack([KE, YE])
+        wis_t = jnp.broadcast_to(jnp.int32(wi), (2,))
+        out = _compact_batched(raw, cband, IR, Bprod, BSV, BEV, wis_t,
+                               cand, gap_drop, sig, L, o_cap, keep_cap,
+                               hist_backend, exact_mode, sus_cap, margin)
+        outK = jax.tree_util.tree_map(lambda a: a[0], _bundle_slice(out, 0, 1))
+        outY = jax.tree_util.tree_map(lambda a: a[0], _bundle_slice(out, 1, 2))
+        return outK, outY
     outK = _compact_one(raw, cband, IR, Bprod, KS, KE, cand, gap_drop,
                         sig, wi, L, chunked, o_cap, keep_cap, hist_backend,
                         mesh, exact_mode=exact_mode, sus_cap=sus_cap,
@@ -459,22 +533,32 @@ def _score_device_compact_multi(raw, cband, IR, Bprod, caps, cand, gap_drop,
                                 mesh=None, exact_mode=False,
                                 sus_cap=_SUS_CAP, margin=0.0):
     """Every (p, w) pair's two backgrounds scored in ONE program: the
-    multi-parameter union (callers.py:132-232,345-349) then costs a single
-    dispatch + fetch round trip per chromosome instead of one per pair.
+    multi-parameter union (callers.py:132-232,345-349) costs a single
+    dispatch + fetch round trip per chromosome.
 
-    Pairs ride a ``lax.scan`` over the stacked capture tensors with ``wi``
-    a traced operand (it only feeds a ``drow >= wi`` mask), so the scoring
-    body is traced and compiled ONCE however many (p, w) pairs the config
-    carries — the round-2 verdict's 169s multi-pair first call was
-    2*n_pairs traced copies of the same program (weak #3).
+    Off mesh the 2*n_pairs backgrounds go through the single BATCHED
+    body (:func:`_compact_batched` — XLA unrolled the former
+    scan-over-pairs form into 2*n_pairs program copies); mesh callers
+    keep the scanned two-call form, whose per-shard histogram reduction
+    is already wired for a [128, C] table.
 
-    Returns (outK, outY): each a 9-leaf bundle with a leading n_pairs
+    Returns (outK, outY): each a 10-slot bundle with a leading n_pairs
     axis."""
     KS = jnp.stack([c[0] for c in caps])
     KE = jnp.stack([c[1] for c in caps])
     YS = jnp.stack([c[2] for c in caps])
     YE = jnp.stack([c[3] for c in caps])
     wis_t = jnp.asarray(wis, jnp.int32)
+    n = len(caps)
+
+    if mesh is None and chunked and o_cap is not None:
+        BSV = jnp.concatenate([KS, YS])
+        BEV = jnp.concatenate([KE, YE])
+        out = _compact_batched(raw, cband, IR, Bprod, BSV, BEV,
+                               jnp.concatenate([wis_t, wis_t]), cand,
+                               gap_drop, sig, L, o_cap, keep_cap,
+                               hist_backend, exact_mode, sus_cap, margin)
+        return _bundle_slice(out, 0, n), _bundle_slice(out, n, 2 * n)
 
     def body(_, xs):
         KSi, KEi, YSi, YEi, wi = xs

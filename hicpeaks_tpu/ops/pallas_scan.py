@@ -41,15 +41,19 @@ def _shift2_roll(a, dd, dx):
     return out
 
 
-def _choose_tiles(num_p, Lp, Mr, Mc, live_arrays, vmem_budget=12 * 2 ** 20):
+def _choose_tiles(num_p, Lp, Mr, Mc, live_arrays, vmem_budget=None):
     """Pick (ROW_TILE, COL_TILE) minimizing halo-overhead subject to the
     kernel's VMEM live set fitting.  ``live_arrays`` is the caller's
     slab-sized buffer count, calibrated against Mosaic's observed stack
     allocation (pass B: ~47 for a single-p plan — bands + line states +
-    accumulators + captures + DMA double-buffering slop)."""
+    accumulators + captures + DMA double-buffering slop).
+    HICPEAKS_PALLAS_VMEM (MiB) overrides the budget for tuning."""
+    if vmem_budget is None:
+        import os
+        vmem_budget = int(os.environ.get('HICPEAKS_PALLAS_VMEM', 12)) * 2 ** 20
     best = None
-    for col in (1024, 768, 512, 384, 256, 128):
-        for row in (256, 192, 128, 96, 64, 48, 32, 16, 8):
+    for col in (2048, 1536, 1024, 768, 512, 384, 256, 128):
+        for row in (512, 384, 256, 192, 128, 96, 64, 48, 32, 16, 8):
             if row > max(num_p, 8) or col > max(Lp, 128):
                 continue
             slab = (row + 2 * Mr) * (col + 2 * Mc) * 4

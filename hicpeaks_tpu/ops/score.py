@@ -497,7 +497,42 @@ def chunk_bh_keep(O, cid, valid, sig, n_chunks=128, o_cap=32768,
     return keep, qtab, hist, thr.astype(jnp.int32)
 
 
-def _chunk_pack(O, cid, valid, S, C):
+def chunk_bh_keep_batched(O, cid, valid, sig, B, n_chunks=128, o_cap=32768,
+                          hist_backend='jnp', slack=0.0):
+    """Batched :func:`chunk_bh_keep` over a leading axis of ``B``
+    independent backgrounds ([B, num_p, Lp] arrays).
+
+    All B histograms ride ONE kernel call: background b's chunk ids are
+    offset by ``b * n_chunks`` so the (B*S, C) histogram holds every
+    background's table, with row ``b*S`` that background's invalid trash
+    row.  This is the anti-unrolling form: XLA fully unrolls the
+    per-background scoring bodies of a scanned/looped formulation
+    (measured 4.8x generated-code growth from 1 to 2 (p, w) pairs), and
+    the executable SIZE is what the remote backend's per-program
+    first-materialization stall scales with.
+
+    Returns (keep [B, ...], qtab [B*S, C], hist [B*S, C] int32,
+    thr [B, S] int32)."""
+    S, C = n_chunks, o_cap + 1
+    BS = B * S
+    boff = (jnp.arange(B, dtype=jnp.int32) * S)[:, None, None]
+    cid_off = jnp.where(valid, jnp.clip(cid, 1, S - 1) + boff, boff)
+    Oc_p, cid_p, _n = _chunk_pack(O, cid_off, valid, BS, C, pre_offset=True)
+    qtab, hist = _chunk_qtab(Oc_p, cid_p, BS, C, O.dtype, hist_backend,
+                             period=S)
+    thr = (qtab > sig * (1.0 + slack)).astype(O.dtype).sum(axis=1)
+    thr2 = thr.reshape(B, S)
+    s = jnp.arange(1, S - 1, dtype=jnp.int32)
+    deltas = thr2[:, 2:] - thr2[:, 1:-1]                      # [B, S-2]
+    cidc = jnp.clip(cid, 1, S - 1)                            # [B, n, L]
+    th = (thr2[:, 1][:, None, None]
+          + ((cidc[..., None] > s) * deltas[:, None, None, :]).sum(-1))
+    keep = valid & (jnp.clip(jnp.floor(O), 0, C - 1) >= th)
+    keep = keep | (~valid & (jnp.asarray(sig, O.dtype) >= 1.0))
+    return keep, qtab, hist, thr.astype(jnp.int32).reshape(B, S)
+
+
+def _chunk_pack(O, cid, valid, S, C, pre_offset=False):
     """Flatten and pad (count, chunk, valid) into [steps, CH] scan chunks.
 
     Invalid (and padded) pixels are folded into chunk row 0 — a trash row
@@ -505,9 +540,14 @@ def _chunk_pack(O, cid, valid, S, C):
     the scan one-hots need no separate validity mask.  CH is sized for
     ~64MB one-hot steps: hardware-probed, CH=8192 spends over half the
     scan in per-step overhead (207ms -> 70ms at 25M pixels with CH=32768).
+    ``pre_offset``: cid already carries batched row offsets and validity
+    folding (:func:`chunk_bh_keep_batched`).
     """
     Oc = jnp.clip(jnp.floor(O).astype(jnp.int32), 0, C - 1).ravel()
-    cidc = jnp.where(valid.ravel(), jnp.clip(cid, 1, S - 1).ravel(), 0)
+    if pre_offset:
+        cidc = cid.ravel()
+    else:
+        cidc = jnp.where(valid.ravel(), jnp.clip(cid, 1, S - 1).ravel(), 0)
     n = Oc.size
     CH = max(512, min(32768, ((64 << 20) // (2 * C)) // 256 * 256))
     pad = -(-n // CH) * CH - n
@@ -551,7 +591,8 @@ def chunk_hist(Oc_p, cid_p, S, C, hist_backend='jnp'):
     return hist2
 
 
-def _chunk_qtab(Oc_p, cid_p, S, C, dtype, hist_backend='jnp'):
+def _chunk_qtab(Oc_p, cid_p, S, C, dtype, hist_backend='jnp',
+                period=None):
     """The (chunk, count) BH q table shared by the dense-lookup and
     threshold-mask front ends; returns ``(qtab, hist)`` with ``hist`` the
     exact int32 (chunk, count) histogram the table was built from (the
@@ -561,18 +602,23 @@ def _chunk_qtab(Oc_p, cid_p, S, C, dtype, hist_backend='jnp'):
     :func:`_chunk_pack`, so its m/rank/q entries are garbage-but-finite
     and no valid pixel ever reads them."""
     hist2 = chunk_hist(Oc_p, cid_p, S, C, hist_backend)
-    return qtab_from_hist(hist2, dtype), hist2
+    return qtab_from_hist(hist2, dtype, period=period), hist2
 
 
-def qtab_from_hist(hist2, dtype):
+def qtab_from_hist(hist2, dtype, period=None):
     """f32 BH q table from the exact integer histogram (see
-    :func:`_chunk_qtab`; the float64 twin is :func:`host_chunk_qtab64`)."""
+    :func:`_chunk_qtab`; the float64 twin is :func:`host_chunk_qtab64`).
+    ``period``: for batched tables ([B*S, C], chunk_bh_keep_batched) the
+    Poisson right edge of row r is that of LOCAL chunk ``r % period``."""
     S, C = hist2.shape
     m = hist2.sum(axis=1, keepdims=True).astype(dtype)
     # rank_max(s, O): pixels with count >= O  (descending-O cumulative)
     rank_max = jnp.cumsum(hist2[:, ::-1], axis=1)[:, ::-1].astype(dtype)
 
-    rv = jnp.power(2.0, (jnp.arange(S, dtype=dtype) - 1.0) / 3.0)[:, None]
+    ids = jnp.arange(S, dtype=jnp.int32)
+    if period is not None:
+        ids = ids % period
+    rv = jnp.power(2.0, (ids.astype(dtype) - 1.0) / 3.0)[:, None]
     counts = jnp.arange(C, dtype=dtype)[None, :]
     ptab = poisson_sf(counts, rv)
 
