@@ -499,19 +499,11 @@ def _score_device_compact_pair(raw, cband, IR, Bprod, KS, KE, YS, YE, cand,
                                mesh=None, exact_mode=False,
                                sus_cap=_SUS_CAP, margin=0.0):
     """Both backgrounds (donut 'K' and lower-left 'Y', callers.py:319-339)
-    scored in ONE program via the batched body (off mesh); mesh callers
-    keep the two-call form (the batched histogram offsets would need a
-    sharded [2S, C] reduction)."""
-    if mesh is None and chunked and o_cap is not None:
-        BSV = jnp.stack([KS, YS])
-        BEV = jnp.stack([KE, YE])
-        wis_t = jnp.broadcast_to(jnp.int32(wi), (2,))
-        out = _compact_batched(raw, cband, IR, Bprod, BSV, BEV, wis_t,
-                               cand, gap_drop, sig, L, o_cap, keep_cap,
-                               hist_backend, exact_mode, sus_cap, margin)
-        outK = jax.tree_util.tree_map(lambda a: a[0], _bundle_slice(out, 0, 1))
-        outY = jax.tree_util.tree_map(lambda a: a[0], _bundle_slice(out, 1, 2))
-        return outK, outY
+    scored in ONE program with two explicit bodies: at B = 2 the
+    unrolled code is small (~13MB single-pair program) and the batched
+    body's vmapped compaction/gather lowering costs ~18% steady
+    throughput (A/B-measured 12.5 -> 14.8 ms/round), so batching only
+    pays where it prevents >= 4-body unrolling (the multi scorer)."""
     outK = _compact_one(raw, cband, IR, Bprod, KS, KE, cand, gap_drop,
                         sig, wi, L, chunked, o_cap, keep_cap, hist_backend,
                         mesh, exact_mode=exact_mode, sus_cap=sus_cap,
@@ -536,11 +528,15 @@ def _score_device_compact_multi(raw, cband, IR, Bprod, caps, cand, gap_drop,
     multi-parameter union (callers.py:132-232,345-349) costs a single
     dispatch + fetch round trip per chromosome.
 
-    Off mesh the 2*n_pairs backgrounds go through the single BATCHED
-    body (:func:`_compact_batched` — XLA unrolled the former
-    scan-over-pairs form into 2*n_pairs program copies); mesh callers
-    keep the scanned two-call form, whose per-shard histogram reduction
-    is already wired for a [128, C] table.
+    Off mesh, MULTI-pair configs route the 2*n_pairs backgrounds through
+    the single BATCHED body (:func:`_compact_batched` — XLA unrolled the
+    former scan-over-pairs form into 2*n_pairs program copies, ~114MB of
+    generated code at the reference default config, and the remote
+    backend's per-executable stall scales with binary size); a single
+    pair stays on the scanned two-call form, whose 2-body unroll is
+    small and ~18% faster steady (the batched compaction/gathers pay a
+    vmap lowering toll).  Mesh callers always take the scanned form,
+    whose per-shard histogram reduction is wired for a [128, C] table.
 
     Returns (outK, outY): each a 10-slot bundle with a leading n_pairs
     axis."""
@@ -551,7 +547,15 @@ def _score_device_compact_multi(raw, cband, IR, Bprod, caps, cand, gap_drop,
     wis_t = jnp.asarray(wis, jnp.int32)
     n = len(caps)
 
-    if mesh is None and chunked and o_cap is not None:
+    # batched body when it prevents >= 4-body unrolling, AND for every
+    # exact-mode (production) program regardless of pair count: there the
+    # executable size drives the remote backend's per-program stall on
+    # the cold path (GENOME_E2E_r04: 27MB batched vs ~50MB two-body at
+    # one pair), while the ~18% steady toll hides behind the per-
+    # chromosome transfer.  Non-exact single-pair programs (the
+    # throughput bench shape) keep the faster two-call form.
+    if mesh is None and chunked and o_cap is not None and \
+            (n >= 2 or exact_mode):
         BSV = jnp.concatenate([KS, YS])
         BEV = jnp.concatenate([KE, YE])
         out = _compact_batched(raw, cband, IR, Bprod, BSV, BEV,

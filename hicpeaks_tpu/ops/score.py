@@ -515,11 +515,19 @@ def chunk_bh_keep_batched(O, cid, valid, sig, B, n_chunks=128, o_cap=32768,
     thr [B, S] int32)."""
     S, C = n_chunks, o_cap + 1
     BS = B * S
-    boff = (jnp.arange(B, dtype=jnp.int32) * S)[:, None, None]
-    cid_off = jnp.where(valid, jnp.clip(cid, 1, S - 1) + boff, boff)
-    Oc_p, cid_p, _n = _chunk_pack(O, cid_off, valid, BS, C, pre_offset=True)
-    qtab, hist = _chunk_qtab(Oc_p, cid_p, BS, C, O.dtype, hist_backend,
-                             period=S)
+    # one histogram KERNEL call per background (a static B-loop of small
+    # kernels — each ~0.3MB of code): a single offset-row [B*S, C] kernel
+    # would be code-minimal but its one-hot compare/dot work scales with
+    # the row count, i.e. B x the arithmetic per pixel (hardware-measured
+    # +37% on the whole fused round at B=2).  The per-bg kernels keep the
+    # arithmetic identical to the unbatched scorer while everything
+    # around them stays batched.
+    hists = []
+    for b in range(B):
+        Oc_p, cid_p, _n = _chunk_pack(O[b], cid[b], valid[b], S, C)
+        hists.append(chunk_hist(Oc_p, cid_p, S, C, hist_backend))
+    hist = jnp.concatenate(hists, axis=0)                     # [B*S, C]
+    qtab = qtab_from_hist(hist, O.dtype, period=S)
     thr = (qtab > sig * (1.0 + slack)).astype(O.dtype).sum(axis=1)
     thr2 = thr.reshape(B, S)
     s = jnp.arange(1, S - 1, dtype=jnp.int32)
