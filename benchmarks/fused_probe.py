@@ -7,7 +7,7 @@ of GENOME_SCALE_r03_multipair is slab re-transfer + dispatch round trips
 vs actual device compute, and times the ONE-program fused pipeline that
 the engine's fused path dispatches per chromosome.
 
-Writes benchmarks/FUSED_PROBE_r03.json.
+Writes benchmarks/FUSED_PROBE_r04.json.
 """
 import json
 import os
@@ -19,7 +19,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                   'FUSED_PROBE_r03.json')
+                   'FUSED_PROBE_r04.json')
 
 
 def log(msg):

@@ -277,3 +277,39 @@ def test_compact_mask_matches_nonzero(shape, cap, density, seed):
     # past-count entries point at the last cell
     np.testing.assert_array_equal(d_idx[k:], np.full(cap - k, R - 1))
     np.testing.assert_array_equal(x_idx[k:], np.full(cap - k, C - 1))
+
+
+@pytest.mark.parametrize('B,sig,seed', [(2, 0.05, 0), (4, 0.05, 1),
+                                        (4, 0.2, 2)])
+def test_chunk_bh_keep_batched_matches_per_background(B, sig, seed):
+    """The batched histogram-keep (one body for all backgrounds,
+    engine._compact_batched's core) must be BIT-IDENTICAL to running
+    chunk_bh_keep per background: same keep mask, same integer
+    histogram block, same per-chunk thresholds, and a q-table whose
+    rows wrap the Poisson right edge modulo 128."""
+    from hicpeaks_tpu.ops.score import chunk_bh_keep, chunk_bh_keep_batched
+
+    rng = np.random.default_rng(seed)
+    shape = (B, 24, 256)
+    O = np.floor(rng.gamma(1.5, 8.0, shape)).astype(np.float64)
+    # per-background expected values -> independent chunk ids
+    E = rng.gamma(2.0, 3.0, shape) + 1e-3
+    cid = np.clip(np.floor(3 * np.log2(E)).astype(np.int32) + 2, 1, 127)
+    valid = rng.random(shape) < 0.8
+    o_cap = 256
+
+    keep_b, qtab_b, hist_b, thr_b = chunk_bh_keep_batched(
+        jnp.asarray(O), jnp.asarray(cid), jnp.asarray(valid), sig, B,
+        o_cap=o_cap, hist_backend='jnp', slack=0.01)
+    for b in range(B):
+        keep1, qtab1, hist1, thr1 = chunk_bh_keep(
+            jnp.asarray(O[b]), jnp.asarray(cid[b]), jnp.asarray(valid[b]),
+            sig, o_cap=o_cap, hist_backend='jnp', slack=0.01)
+        np.testing.assert_array_equal(np.asarray(keep_b)[b],
+                                      np.asarray(keep1), err_msg=f'b={b}')
+        np.testing.assert_array_equal(
+            np.asarray(hist_b).reshape(B, 128, -1)[b], np.asarray(hist1))
+        np.testing.assert_array_equal(np.asarray(thr_b)[b],
+                                      np.asarray(thr1))
+        np.testing.assert_array_equal(
+            np.asarray(qtab_b).reshape(B, 128, -1)[b], np.asarray(qtab1))
