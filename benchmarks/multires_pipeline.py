@@ -12,7 +12,7 @@ matches), then:
 
 mirroring the reference's multi-resolution workflow
 (scripts/combine-resolutions:51-71, README.rst:233-256).  Records
-per-stage wall-clock + peak counts to benchmarks/MULTIRES_r02.json.
+per-stage wall-clock + peak counts to benchmarks/MULTIRES_r04.json.
 
 Env knobs: MR_CPU=1 (smoke mode), MR_FINE_BINS, MR_TIMEOUT, MR_BACKEND.
 """
@@ -28,7 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 HERE = os.path.dirname(os.path.abspath(__file__))
-OUT_PATH = os.path.join(HERE, 'MULTIRES_r02.json')
+OUT_PATH = os.path.join(HERE, 'MULTIRES_r04.json')
 
 
 def log(msg):
