@@ -7,6 +7,7 @@ plus O(L) vectors; these tests pin each sheet to the host computation
 that is itself pinned to the reference (gap windows: callers.py:291-312;
 expected-value factors: invariant 3 of SURVEY §2).
 """
+import jax
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -140,16 +141,27 @@ def test_gap_vector_matches_dense_cband():
 
 
 @pytest.mark.parametrize('L,s', [(40, 5), (40, 39), (40, 40), (40, 64),
-                                 (128, 1)])
+                                 (128, 1), (40, 0), (1, 3)])
 def test_gap_reject_device_edges(L, s):
+    """Device twin vs host across clamped windows, s >= L, s = 0, L = 1 —
+    including JUNK gap bits beyond L, which the traced-L formulation must
+    mask out (the padded tail of a shape-bucketed chromosome is
+    arbitrary)."""
     rng = np.random.default_rng(L + s)
     Lp = 128
     num_p = 16
     gap = np.zeros(Lp, bool)
     gap[rng.integers(0, L, 6)] = True
+    gap[L:] = rng.random(Lp - L) < 0.5      # junk beyond L: must not count
     d = np.asarray(score_ops.gap_reject_device(jnp.asarray(gap), num_p, L, s))
     h = score_ops.gap_reject_host(gap, num_p, L, s)
     np.testing.assert_array_equal(d, h)
+
+    # traced L must give the identical mask (shared-bucket executables)
+    d_tr = np.asarray(jax.jit(
+        lambda g, Lt: score_ops.gap_reject_device(g, num_p, Lt, s)
+    )(jnp.asarray(gap), jnp.int32(L)))
+    np.testing.assert_array_equal(d_tr, h)
 
 
 def test_u16_slab_transfer_decision_and_parity():
