@@ -108,14 +108,20 @@ class _RingProvider:
     re-add at a later entry) is cached until its final use, so peak extra
     memory stays at a handful of small-radius rings."""
 
-    def __init__(self, bands: dict, pending, shift_fn=None):
-        """``pending``: Counter of (r, kind, which) -> total request count."""
+    def __init__(self, bands: dict, pending, shift_fn=None, crop=None):
+        """``pending``: Counter of (r, kind, which) -> total request count.
+        ``crop``: optional slab→pixel-domain slicer applied to every ring
+        before caching (the Pallas kernels accumulate pixel state at
+        interior size to shrink the VMEM live set; ring reads only ever
+        feed those interior accumulators, so crop-then-add is elementwise
+        identical to add-then-crop — bit-exact)."""
         kinds = {k: {wh for (_, kk, wh) in pending if kk == k}
                  for k in bands}
         self.states = {k: _RingState(v, shift_fn, kinds[k] or {'K', 'Q'})
                        for k, v in bands.items()}
         self.pending = dict(pending)
         self.cache = {}
+        self.crop = crop or (lambda a: a)
         self.r_cur = 0
 
     def get(self, r, kind, which):
@@ -127,7 +133,7 @@ class _RingProvider:
                 for wh, fn in (('K', st.ringK), ('Q', st.ringQ)):
                     ck = (self.r_cur, k, wh)
                     if self.pending.get(ck, 0) > 0:
-                        self.cache[ck] = fn()
+                        self.cache[ck] = self.crop(fn())
         assert key in self.cache, f'ring {key} requested but never planned'
         val = self.cache[key]
         self.pending[key] -= 1
@@ -160,20 +166,28 @@ def _row_margin(plan):
 
 
 def _scan_core(raw, cband, eband, cand_mask, plan, p_list, thr, allowed,
-               with_captures: bool, shift_fn=None):
+               with_captures: bool, shift_fn=None, crop=None):
     """Ring-scan math on row-pre-padded arrays (margin handling belongs to
     the caller).  Shared between the jnp path (full band, jnp.pad) and the
-    Pallas kernel (VMEM slabs).  Outputs are uncropped."""
+    Pallas kernel (VMEM slabs).
+
+    ``crop``: optional slab→pixel-domain slicer.  When given, ``cand_mask``
+    must ALREADY be pixel-domain and every pixel-state array (freeze
+    accumulator, captured masks, outputs) lives at pixel-domain size; ring
+    sums are cropped at the provider before accumulation.  The per-pixel
+    arithmetic and its order are identical either way (crop is a pure
+    slice), so results are bit-exact between the two modes.  Outputs are
+    uncropped in the default mode."""
     bands = {'m': raw}
     if with_captures:
         bands['c'] = cband
         bands['e'] = eband
     provider = _RingProvider(bands, _ring_mentions(plan, with_captures),
-                             shift_fn)
+                             shift_fn, crop=crop)
 
-    zero = jnp.zeros_like(raw)
+    zero = jnp.zeros(cand_mask.shape, raw.dtype)
     accR = zero
-    captured = {p: jnp.zeros(raw.shape, bool) for p in p_list}
+    captured = {p: jnp.zeros(cand_mask.shape, bool) for p in p_list}
     counts = []
     if with_captures:
         accKc = accKe = accQc = accQe = zero
