@@ -136,18 +136,19 @@ def main():
     caps = tuple(tuple(outs[pi]) for pi, _ in pairs)
     hist_backend = engine_mod._hist_plan(None, 'auto')
     t_c0 = time.time()
+    s_rows = score_ops.chunk_rows(o_cap, 0.05)
     outKY = engine_mod._score_device_compact_multi(
         raw, cband, IR, Bprod, caps, cand, gap_drop, jnp.float32(0.05),
         wis=tuple(int(wi) for _, wi in pairs), L=int(bands.L), chunked=True,
         o_cap=o_cap, keep_cap=engine_mod._KEEP_CAP_FAST,
-        hist_backend=hist_backend)
+        hist_backend=hist_backend, s_rows=s_rows)
     jax.block_until_ready(outKY)
     stages['score_multi_compile_s'] = round(time.time() - t_c0, 1)
     stages['score_multi'] = timeit(lambda: engine_mod._score_device_compact_multi(
         raw, cband, IR, Bprod, caps, cand, gap_drop, jnp.float32(0.05),
         wis=tuple(int(wi) for _, wi in pairs), L=int(bands.L), chunked=True,
         o_cap=o_cap, keep_cap=engine_mod._KEEP_CAP_FAST,
-        hist_backend=hist_backend), iters)
+        hist_backend=hist_backend, s_rows=s_rows), iters)
     log(f"score multi: {stages['score_multi']*1e3:.0f}ms "
         f"(compile {stages['score_multi_compile_s']}s)")
 
@@ -169,7 +170,8 @@ def main():
             raw_i, cband, IR, Bprod, caps2, cand, gap_drop,
             jnp.float32(0.05), wis=tuple(int(wi) for _, wi in pairs),
             L=int(bands.L), chunked=True, o_cap=o_cap,
-            keep_cap=engine_mod._KEEP_CAP_FAST, hist_backend=hist_backend)
+            keep_cap=engine_mod._KEEP_CAP_FAST, hist_backend=hist_backend,
+            s_rows=s_rows)
         return counts, outK[:8], outY[:8]
 
     fused = jax.jit(fused_body)

@@ -308,7 +308,8 @@ def _chunk_margin(plan):
 
 def _compact_one(raw, cband, IR, Bprod, bSV, bEV, cand, gap_drop, sig, wi,
                  L, chunked, o_cap, keep_cap, hist_backend='jnp', mesh=None,
-                 exact_mode=False, sus_cap=_SUS_CAP, margin=0.0):
+                 exact_mode=False, sus_cap=_SUS_CAP, margin=0.0,
+                 s_rows=128):
     """Traced body shared by the single- and pair-background compact
     scorers.  ``hist_backend`` selects the (chunk, count) histogram
     implementation (ops/score._chunk_qtab): the fused Pallas kernel off
@@ -348,9 +349,15 @@ def _compact_one(raw, cband, IR, Bprod, bSV, bEV, cand, gap_drop, sig, wi,
             # costs of the scoring program at genome scale) runs over the
             # full sheet; p/q for the <= keep_cap compacted pixels are
             # finished in float64 on the host from the histogram
-            keep_q, _qtab, hist, thr = score_ops.chunk_bh_keep(
-                O, cid, valid, sig, o_cap=o_cap, hist_backend=hist_backend,
-                slack=_BH_SLACK, mesh=mesh)
+            # split histogram on the fast tier only: the hard-cap retry
+            # (and the mesh path) keep the unsplit exact kernel, so a
+            # high-count-tail overflow lands in the same retry ladder as
+            # a keep-cap overflow
+            hist_hcap = (1 << 18) if keep_cap <= _KEEP_CAP_FAST else None
+            keep_q, _qtab, hist, thr, h_ok = score_ops.chunk_bh_keep(
+                O, cid, valid, sig, n_chunks=s_rows, o_cap=o_cap,
+                hist_backend=hist_backend, slack=_BH_SLACK, mesh=mesh,
+                hcap=hist_hcap)
         else:
             pval = jnp.where(valid, score_ops.poisson_sf(O, rv), 1.0)
             qval = score_ops.segmented_bh(pval, cid, valid)
@@ -372,6 +379,10 @@ def _compact_one(raw, cband, IR, Bprod, bSV, bEV, cand, gap_drop, sig, wi,
     else:
         keep = scored & (qval <= sig) & ~gap_drop
     cnt, d_idx, x_idx = score_ops.compact_mask(keep, keep_cap)
+    if qval is None:
+        # an incomplete split histogram must not be consumed: report a
+        # count past the cap so the controller retries at the hard tier
+        cnt = jnp.where(h_ok, cnt, keep_cap + 1)
     g = lambda a: a[d_idx, x_idx]
     if pval is None:
         cid_g = jnp.where(g(valid), g(cid), 0)
@@ -384,11 +395,12 @@ def _compact_one(raw, cband, IR, Bprod, bSV, bEV, cand, gap_drop, sig, wi,
 @functools.partial(jax.jit, static_argnames=('wi', 'chunked', 'o_cap',
                                              'keep_cap', 'hist_backend',
                                              'mesh', 'exact_mode', 'sus_cap',
-                                             'margin'))
+                                             'margin', 's_rows'))
 def _score_device_compact(raw, cband, IR, Bprod, bSV, bEV, cand, gap_drop,
                           sig, wi, L, chunked, o_cap=None,
                           keep_cap=_KEEP_CAP, hist_backend='jnp', mesh=None,
-                          exact_mode=False, sus_cap=_SUS_CAP, margin=0.0):
+                          exact_mode=False, sus_cap=_SUS_CAP, margin=0.0,
+                          s_rows=128):
     """Device-BH scoring that compacts the kept pixels on device.
 
     Dense [num_p, Lp] sheets never cross to the host (on tunneled TPU
@@ -400,7 +412,7 @@ def _score_device_compact(raw, cband, IR, Bprod, bSV, bEV, cand, gap_drop,
     return _compact_one(raw, cband, IR, Bprod, bSV, bEV, cand, gap_drop,
                         sig, wi, L, chunked, o_cap, keep_cap, hist_backend,
                         mesh, exact_mode=exact_mode, sus_cap=sus_cap,
-                        margin=margin)
+                        margin=margin, s_rows=s_rows)
 
 
 @functools.partial(jax.jit, static_argnames=('wi', 'L', 'chunked', 'o_cap',
@@ -425,9 +437,23 @@ def _score_device_compact_checked(raw, cband, IR, Bprod, bSV, bEV, cand,
             raw, cband, IR, Bprod, bSV, bEV, cand, gap_drop, sig)
 
 
+def _gather_flat_b(a, d, x):
+    """Batched per-pixel gather a[b, d[b,k], x[b,k]] without vmap: one
+    take_along_axis over the flattened sheet (vmap's batching rules emit
+    costlier gather forms — VERDICT r4 #2)."""
+    B, _num_p, Lp = a.shape
+    return jnp.take_along_axis(a.reshape(B, -1), d * Lp + x, axis=1)
+
+
+def _gather_flat_shared(a, d, x):
+    """Shared-sheet twin of :func:`_gather_flat_b`: a [num_p, Lp] indexed
+    by batched [B, K] coordinates as one flat gather."""
+    return a.reshape(-1)[d * a.shape[1] + x]
+
+
 def _compact_batched(raw, cband, IR, Bprod, BSV, BEV, wis_t, cand, gap_drop,
                      sig, L, o_cap, keep_cap, hist_backend, exact_mode,
-                     sus_cap, margin):
+                     sus_cap, margin, s_rows=128):
     """All ``B`` backgrounds (every (p, w) pair x {K, Y}) scored in ONE
     batched body — the anti-unrolling form of the chunked scorer.
 
@@ -442,8 +468,8 @@ def _compact_batched(raw, cband, IR, Bprod, BSV, BEV, wis_t, cand, gap_drop,
     single batched ops instead of B copies.
 
     Semantics are _compact_one's, background by background: identical
-    histograms (each background's pixels land in its own 128-row block
-    with its own trash row b*128), identical keep thresholds, identical
+    histograms (each background's pixels land in its own s_rows-row block
+    with its own trash row b*s_rows), identical keep thresholds, identical
     compaction order.  Returns the 10-slot bundle with a leading [B]
     axis on every leaf (slot 8 = the dense EM*ratio product stacked
     [B, num_p, Lp]; slot 9 = the stacked suspect bundle or ())."""
@@ -454,27 +480,26 @@ def _compact_batched(raw, cband, IR, Bprod, BSV, BEV, wis_t, cand, gap_drop,
     Ob = jnp.broadcast_to(O, E.shape)
     ICEb = jnp.broadcast_to(ICE, E.shape)
     cid, rv, valid = score_ops.lambda_chunks(E, scored)
-    keep_q, _qtab, hist, thr2 = score_ops.chunk_bh_keep_batched(
-        Ob, cid, valid, sig, B, o_cap=o_cap, hist_backend=hist_backend,
-        slack=_BH_SLACK)
-    hist_b = hist.reshape(B, 128, o_cap + 1)
+    hist_hcap = (1 << 18) if keep_cap <= _KEEP_CAP_FAST else None
+    keep_q, _qtab, hist, thr2, h_ok = score_ops.chunk_bh_keep_batched(
+        Ob, cid, valid, sig, B, n_chunks=s_rows, o_cap=o_cap,
+        hist_backend=hist_backend, slack=_BH_SLACK, hcap=hist_hcap)
+    hist_b = hist.reshape(B, s_rows, o_cap + 1)
     keep = scored & keep_q & ~gap_drop
     sus_bundle = ()
+    gb = _gather_flat_b                                   # per-bg sheet
+    gu = _gather_flat_shared                              # shared sheet
     if exact_mode:
         sus = score_ops.lambda_suspects(E, scored, margin)
         keep = keep & ~sus
-        cnt_s, d_s, x_s = jax.vmap(
-            lambda k: score_ops.compact_mask(k, sus_cap))(sus)
-        gsb = jax.vmap(lambda a, d, x: a[d, x])               # per-bg sheet
-        gsu = jax.vmap(lambda a, d, x: a[d, x], (None, 0, 0))  # shared sheet
-        cid_s = jnp.where(gsb(valid, d_s, x_s), gsb(cid, d_s, x_s), 0)
-        O_s = jnp.clip(jnp.floor(gsu(O, d_s, x_s)), 0, o_cap) \
+        cnt_s, d_s, x_s = score_ops.compact_mask_batched(sus, sus_cap)
+        cid_s = jnp.where(gb(valid, d_s, x_s), gb(cid, d_s, x_s), 0)
+        O_s = jnp.clip(jnp.floor(gu(O, d_s, x_s)), 0, o_cap) \
             .astype(jnp.int32)
         sus_bundle = (cnt_s, d_s, x_s, cid_s, O_s,
-                      gsu(gap_drop, d_s, x_s), thr2)
-    cnt, d_idx, x_idx = jax.vmap(
-        lambda k: score_ops.compact_mask(k, keep_cap))(keep)
-    gb = jax.vmap(lambda a, d, x: a[d, x])
+                      gu(gap_drop, d_s, x_s), thr2)
+    cnt, d_idx, x_idx = score_ops.compact_mask_batched(keep, keep_cap)
+    cnt = jnp.where(h_ok, cnt, keep_cap + 1)
     cid_g = jnp.where(gb(valid, d_idx, x_idx), gb(cid, d_idx, x_idx), 0)
     return (cnt, d_idx, x_idx,
             gb(Ob, d_idx, x_idx), gb(ICEb, d_idx, x_idx),
@@ -492,12 +517,12 @@ def _bundle_slice(out, lo, hi):
 @functools.partial(jax.jit, static_argnames=('wi', 'chunked', 'o_cap',
                                              'keep_cap', 'hist_backend',
                                              'mesh', 'exact_mode', 'sus_cap',
-                                             'margin'))
+                                             'margin', 's_rows'))
 def _score_device_compact_pair(raw, cband, IR, Bprod, KS, KE, YS, YE, cand,
                                gap_drop, sig, wi, L, chunked, o_cap=None,
                                keep_cap=_KEEP_CAP, hist_backend='jnp',
                                mesh=None, exact_mode=False,
-                               sus_cap=_SUS_CAP, margin=0.0):
+                               sus_cap=_SUS_CAP, margin=0.0, s_rows=128):
     """Both backgrounds (donut 'K' and lower-left 'Y', callers.py:319-339)
     scored in ONE program with two explicit bodies: at B = 2 the
     unrolled code is small (~13MB single-pair program) and the batched
@@ -507,23 +532,23 @@ def _score_device_compact_pair(raw, cband, IR, Bprod, KS, KE, YS, YE, cand,
     outK = _compact_one(raw, cband, IR, Bprod, KS, KE, cand, gap_drop,
                         sig, wi, L, chunked, o_cap, keep_cap, hist_backend,
                         mesh, exact_mode=exact_mode, sus_cap=sus_cap,
-                        margin=margin)
+                        margin=margin, s_rows=s_rows)
     outY = _compact_one(raw, cband, IR, Bprod, YS, YE, cand, gap_drop,
                         sig, wi, L, chunked, o_cap, keep_cap, hist_backend,
                         mesh, exact_mode=exact_mode, sus_cap=sus_cap,
-                        margin=margin)
+                        margin=margin, s_rows=s_rows)
     return outK, outY
 
 
 @functools.partial(jax.jit, static_argnames=('chunked', 'o_cap',
                                              'keep_cap', 'hist_backend',
                                              'mesh', 'exact_mode', 'sus_cap',
-                                             'margin'))
+                                             'margin', 's_rows'))
 def _score_device_compact_multi(raw, cband, IR, Bprod, caps, cand, gap_drop,
                                 sig, wis, L, chunked, o_cap=None,
                                 keep_cap=_KEEP_CAP, hist_backend='jnp',
                                 mesh=None, exact_mode=False,
-                                sus_cap=_SUS_CAP, margin=0.0):
+                                sus_cap=_SUS_CAP, margin=0.0, s_rows=128):
     """Every (p, w) pair's two backgrounds scored in ONE program: the
     multi-parameter union (callers.py:132-232,345-349) costs a single
     dispatch + fetch round trip per chromosome.
@@ -561,7 +586,8 @@ def _score_device_compact_multi(raw, cband, IR, Bprod, caps, cand, gap_drop,
         out = _compact_batched(raw, cband, IR, Bprod, BSV, BEV,
                                jnp.concatenate([wis_t, wis_t]), cand,
                                gap_drop, sig, L, o_cap, keep_cap,
-                               hist_backend, exact_mode, sus_cap, margin)
+                               hist_backend, exact_mode, sus_cap, margin,
+                               s_rows=s_rows)
         return _bundle_slice(out, 0, n), _bundle_slice(out, n, 2 * n)
 
     def body(_, xs):
@@ -569,11 +595,11 @@ def _score_device_compact_multi(raw, cband, IR, Bprod, caps, cand, gap_drop,
         outK = _compact_one(raw, cband, IR, Bprod, KSi, KEi, cand, gap_drop,
                             sig, wi, L, chunked, o_cap, keep_cap,
                             hist_backend, mesh, exact_mode=exact_mode,
-                            sus_cap=sus_cap, margin=margin)
+                            sus_cap=sus_cap, margin=margin, s_rows=s_rows)
         outY = _compact_one(raw, cband, IR, Bprod, YSi, YEi, cand, gap_drop,
                             sig, wi, L, chunked, o_cap, keep_cap,
                             hist_backend, mesh, exact_mode=exact_mode,
-                            sus_cap=sus_cap, margin=margin)
+                            sus_cap=sus_cap, margin=margin, s_rows=s_rows)
         return None, (outK, outY)
 
     _, (outK, outY) = jax.lax.scan(body, None, (KS, KE, YS, YE, wis_t))
@@ -612,12 +638,12 @@ def _scan_calls(scan_impl):
 @functools.partial(jax.jit, static_argnames=(
     'plan', 'p_list', 'thr', 'ww_t', 'wis', 'ww_min', 'd_lo', 'd_hi',
     'gap_s', 'o_cap', 'keep_cap', 'hist_backend', 'bits', 'scan_impl',
-    'exact_mode', 'sus_cap', 'margin'))
+    'exact_mode', 'sus_cap', 'margin', 's_rows'))
 def _fused_hiccups_device(raw_op, w0, bias, IR, gap, sig, total, t_left,
                           plan, p_list, thr, ww_t, wis, ww_min, L, d_lo,
                           d_hi, gap_s, o_cap, keep_cap, hist_backend, bits,
                           scan_impl, exact_mode=False, sus_cap=_SUS_CAP,
-                          margin=0.0):
+                          margin=0.0, s_rows=128):
     """The WHOLE per-chromosome hiccups device pipeline as ONE program:
     sheet derivation, freeze-count pass, the controller's early-stop
     bookkeeping (poolplan.device_allowed_hiccups — integer-exact, so it
@@ -639,7 +665,8 @@ def _fused_hiccups_device(raw_op, w0, bias, IR, gap, sig, total, t_left,
         raw, cband, IR, Bprod, caps, cand, gap_drop, sig,
         wis=tuple(w for _, w in wis), L=L, chunked=True,
         o_cap=o_cap, keep_cap=keep_cap, hist_backend=hist_backend,
-        exact_mode=exact_mode, sus_cap=sus_cap, margin=margin)
+        exact_mode=exact_mode, sus_cap=sus_cap, margin=margin,
+        s_rows=s_rows)
     return counts, allowed, outK, outY
 
 
@@ -732,7 +759,8 @@ def _score_all_pairs(raw, cband, IR, Bprod, outs, pairs, cand, L, sig,
         raw, cband, IR, Bprod, caps, cand, gap_drop, sig,
         wis=tuple(int(wi) for _, wi in pairs), L=int(L), chunked=True,
         o_cap=o_cap, keep_cap=_KEEP_CAP_FAST, hist_backend=hist_backend,
-        mesh=mesh, exact_mode=exact_mode, margin=margin)
+        mesh=mesh, exact_mode=exact_mode, margin=margin,
+        s_rows=score_ops.chunk_rows(o_cap, float(sig)))
     # one bundled transfer of the stacked [n_pairs, ...] leaves
     fK_all, sK, fY_all, sY = _fetch((outK[:8], outK[9], outY[:8], outY[9]))
     results = []
@@ -890,7 +918,10 @@ def _compact_to_host(fetched, prod, cap=_KEEP_CAP, sig=None, exact=None,
             if ns > sus[1].shape[0]:
                 return None          # suspect-cap overflow: caller retries
             ds, xs = sus[1][:ns], sus[2][:ns]
-            cid_dev = np.asarray(sus[3][:ns], np.int64)
+            # the device folded chunks >= S into overflow row S-1
+            # (ops/score.chunk_rows; _chunk_pack's clip), so the
+            # subtraction must target the row the pixel actually occupies
+            cid_dev = np.clip(np.asarray(sus[3][:ns], np.int64), 0, S - 1)
             O_s = np.asarray(sus[4][:ns], np.int64)
             gap_s = np.asarray(sus[5][:ns], bool)
             thr_dev = np.asarray(sus[6], np.int64)
@@ -977,7 +1008,8 @@ def _score_pair(raw, cband, IR, Bprod, KS, KE, YS, YE, wi, cand, L, sig,
             raw, cband, IR, Bprod, KS, KE, YS, YE, cand, gap_drop, sig,
             wi=int(wi), L=int(L), chunked=True, o_cap=o_cap, keep_cap=cap,
             hist_backend=hist_backend, mesh=mesh, exact_mode=exact_mode,
-            sus_cap=max(_SUS_CAP, cap), margin=margin)
+            sus_cap=max(_SUS_CAP, cap), margin=margin,
+            s_rows=score_ops.chunk_rows(o_cap, float(sig)))
         # one bundled transfer
         fK, sK, fY, sY = _fetch((outK[:8], outK[9], outY[:8], outY[9]))
         rK = _compact_to_host(fK, outK[8], cap, sig=sig,
@@ -1129,7 +1161,8 @@ def _score_one(raw, cband, IR, Bprod, bSV, bEV, wi, cand, L, sig, gap_drop,
                     keep_cap=cap, hist_backend=hist_backend, mesh=mesh,
                     exact_mode=(exact is not None and not check
                                 and mesh is None),
-                    sus_cap=max(_SUS_CAP, cap), margin=margin)
+                    sus_cap=max(_SUS_CAP, cap), margin=margin,
+                    s_rows=score_ops.chunk_rows(o_cap, float(sig)))
             # one bundled host transfer
             fetched, sus_f = _fetch((out[:8], out[9]))
             n = int(fetched[0])
@@ -1376,7 +1409,8 @@ def _hiccups_fused(bands: ChromBands, cfg: HiccupsConfig, plan, p_list,
         d_hi=cfg.maxapart // bands.res, gap_s=min(cfg.ww), o_cap=o_cap,
         keep_cap=_KEEP_CAP_FAST, hist_backend=hist_backend, bits=bits,
         scan_impl=scan_impl, exact_mode=exact_mode,
-        margin=_chunk_margin(plan))
+        margin=_chunk_margin(plan),
+        s_rows=score_ops.chunk_rows(o_cap, cfg.siglevel))
     counts_h, allowed_h, fK_all, sK, fY_all, sY = _fetch(
         (counts, allowed_d, outK[:8], outK[9], outY[:8], outY[9]))
     decision = poolplan.emulate_freeze_hiccups(plan, counts_h, total,

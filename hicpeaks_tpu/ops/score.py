@@ -346,6 +346,41 @@ def compact_mask(keep, cap):
     return cnt, (pos // C).astype(jnp.int32), (pos % C).astype(jnp.int32)
 
 
+def compact_mask_batched(keep, cap):
+    """vmap-free batched :func:`compact_mask` over a leading [B] axis.
+
+    Row-for-row identical results (same two-level integer cumsum, same
+    hierarchical block search), but every stage lowers as a plain batched
+    op instead of through vmap's batching rules — the vmapped form's
+    lowering cost ~18% of the steady scoring round at genome scale
+    (VERDICT r4 #2).  The zero-pad of the INPUT reproduces the unbatched
+    form's edge-mode pad of the cumsum (trailing cumsum entries replicate
+    the total either way).
+
+    Returns (true_count [B], row_idx [B, cap], col_idx [B, cap])."""
+    keep = jax.lax.optimization_barrier(keep)
+    B, R, C = keep.shape
+    n = R * C
+    W = 512 if cap <= (1 << 14) else 128
+    nb = -(-n // W)
+    X = jnp.pad(keep.reshape(B, n).astype(jnp.int32),
+                ((0, 0), (0, nb * W - n)))
+    row = jnp.cumsum(X.reshape(B, nb, W), axis=2)
+    tails = row[:, :, -1]
+    carry = jnp.cumsum(tails, axis=1) - tails          # exclusive prefix
+    cs_b = row + carry[:, :, None]
+    cnt = cs_b[:, -1, -1]
+    targets = jnp.arange(1, cap + 1, dtype=jnp.int32)
+    b_idx = jnp.minimum(
+        jax.vmap(lambda t: jnp.searchsorted(t, targets, side='left'))(
+            cs_b[:, :, -1]),
+        nb - 1)
+    rows_g = jnp.take_along_axis(cs_b, b_idx[:, :, None], axis=1)
+    inner = jnp.sum(rows_g < targets[None, :, None], axis=2)
+    pos = jnp.minimum(b_idx * W + inner, n - 1)
+    return cnt, (pos // C).astype(jnp.int32), (pos % C).astype(jnp.int32)
+
+
 def segmented_bh(pvals, seg, valid):
     """Benjamini-Hochberg q-values within each segment of ``seg`` (int ids),
     restricted to ``valid``; invalid entries get q = 1.
@@ -380,6 +415,38 @@ def segmented_bh(pvals, seg, valid):
     out = jnp.zeros(n, ps.dtype).at[perm].set(q)
     out = jnp.where(valid.ravel(), out, 1.0)
     return out.reshape(shape)
+
+
+def chunk_rows(o_cap, sig=0.05):
+    """Static chunk-row count sufficient for EXACT histogram BH at this
+    count cap — the fold that cuts the (chunk, count) histogram's MXU
+    work ~3x (VERDICT r4 #8).
+
+    Chunk id i covers E in the open interval (2^((i-2)/3), 2^((i-1)/3))
+    (:func:`lambda_chunks`) and its p-values are evaluated at the RIGHT
+    edge rv = 2^((i-1)/3) (callers.py:268-270).  Any chunk whose rv is
+    >= 2*o_cap can never emit a kept pixel: every observable count
+    O <= o_cap <= rv/2 sits far below the rate, so its p-value
+    1 - cdf(O; rv) >= 1 - P(X <= rv/2 | rv) >= 1 - exp(-0.15*rv), i.e.
+    p = 1 within ~1e-60 at o_cap >= 1024, and BH's q >= p > sig.  Folding
+    every such chunk into one shared overflow row S-1 (whose own rv
+    satisfies the same bound by construction: S-1 >= 3*log2(o_cap) + 4)
+    therefore changes no emitted statistic — rows 1..S-2 keep their exact
+    populations (BH is per-chunk), and the overflow row's mixed
+    population is only ever read by pixels that provably cannot pass the
+    significance test, on the device (count threshold = C) or in the
+    float64 host completion.
+
+    Guarded on ``sig <= 0.2`` (the proof needs sig < 1 - 1e-60; 0.2
+    leaves astronomic margin while covering every realistic run — the
+    reference defaults are 0.05/0.1) and on o_cap >= 1024 (the engine's
+    minimum bucket).  Returns a multiple of 8 (sublane alignment for the
+    Pallas histogram kernel), at most the legacy 128."""
+    import math
+    if not o_cap or o_cap < 1024 or sig > 0.2:
+        return 128
+    s = int(math.ceil(3 * math.log2(o_cap))) + 5
+    return min(128, -(-s // 8) * 8)
 
 
 def chunk_bh_histogram(O, cid, valid, n_chunks=128, o_cap=32768,
@@ -432,7 +499,7 @@ def chunk_bh_histogram(O, cid, valid, n_chunks=128, o_cap=32768,
 
 
 def chunk_bh_keep(O, cid, valid, sig, n_chunks=128, o_cap=32768,
-                  hist_backend='jnp', slack=0.0, mesh=None):
+                  hist_backend='jnp', slack=0.0, mesh=None, hcap=None):
     """``(chunk_bh_histogram(...) <= sig)`` without the per-pixel q lookup.
 
     ``qtab`` is a cummin over ascending integer counts, so within a chunk
@@ -472,14 +539,29 @@ def chunk_bh_keep(O, cid, valid, sig, n_chunks=128, o_cap=32768,
     look up f32 q-values for compacted pixels as ``qtab[cid, floor(O)]``
     (invalid pixels carry q = 1, which this mask admits only when
     ``sig >= 1``).
+
+    ``hcap`` enables the split histogram (:func:`chunk_hist_split`) when
+    C is large enough to profit; a fifth returned element ``ok`` is False
+    when the high-count tail overflowed (the histogram is then incomplete
+    and the caller must retry — the engine folds this into its keep-cap
+    overflow ladder).
     """
     S, C = n_chunks, o_cap + 1
+    ok = jnp.bool_(True)
     if mesh is not None:
         # sheet sharded along columns: per-shard histogram (Pallas-capable
         # inside shard_map) + one psum — GSPMD cannot partition the
         # pallas_call, and packing a sharded ravel would reshard anyway
+        # (the split-histogram optimization is single-device only; mesh
+        # shards are each a fraction of the sheet, so the dense kernel's
+        # cost is already divided)
         from ..parallel.tiles import chunk_hist_sharded
         hist = chunk_hist_sharded(O, cid, valid, S, C, hist_backend, mesh)
+        qtab = qtab_from_hist(hist, O.dtype)
+    elif hcap is not None and C - 1 > 2 * _HIST_T:
+        Ocd = jnp.clip(jnp.floor(O).astype(jnp.int32), 0, C - 1)
+        cidc0 = jnp.where(valid, jnp.clip(cid, 1, S - 1), 0)
+        hist, ok = chunk_hist_split(Ocd, cidc0, S, C, hist_backend, hcap)
         qtab = qtab_from_hist(hist, O.dtype)
     else:
         Oc_p, cid_p, _n = _chunk_pack(O, cid, valid, S, C)
@@ -494,11 +576,11 @@ def chunk_bh_keep(O, cid, valid, sig, n_chunks=128, o_cap=32768,
     keep = valid & (jnp.clip(jnp.floor(O), 0, C - 1) >= th)
     # invalid pixels carry q = 1.0, admitted by the mask only when sig >= 1
     keep = keep | (~valid & (jnp.asarray(sig, O.dtype) >= 1.0))
-    return keep, qtab, hist, thr.astype(jnp.int32)
+    return keep, qtab, hist, thr.astype(jnp.int32), ok
 
 
 def chunk_bh_keep_batched(O, cid, valid, sig, B, n_chunks=128, o_cap=32768,
-                          hist_backend='jnp', slack=0.0):
+                          hist_backend='jnp', slack=0.0, hcap=None):
     """Batched :func:`chunk_bh_keep` over a leading axis of ``B``
     independent backgrounds ([B, num_p, Lp] arrays).
 
@@ -512,9 +594,11 @@ def chunk_bh_keep_batched(O, cid, valid, sig, B, n_chunks=128, o_cap=32768,
     first-materialization stall scales with.
 
     Returns (keep [B, ...], qtab [B*S, C], hist [B*S, C] int32,
-    thr [B, S] int32)."""
+    thr [B, S] int32, ok bool — False when the split histogram's
+    high-count tail overflowed ``hcap``; retry unsplit)."""
     S, C = n_chunks, o_cap + 1
     BS = B * S
+    ok = jnp.bool_(True)
     # one histogram KERNEL call per background (a static B-loop of small
     # kernels — each ~0.3MB of code): a single offset-row [B*S, C] kernel
     # would be code-minimal but its one-hot compare/dot work scales with
@@ -523,9 +607,23 @@ def chunk_bh_keep_batched(O, cid, valid, sig, B, n_chunks=128, o_cap=32768,
     # arithmetic identical to the unbatched scorer while everything
     # around them stays batched.
     hists = []
-    for b in range(B):
-        Oc_p, cid_p, _n = _chunk_pack(O[b], cid[b], valid[b], S, C)
-        hists.append(chunk_hist(Oc_p, cid_p, S, C, hist_backend))
+    if hcap is not None and C - 1 > 2 * _HIST_T:
+        # the observed counts are SHARED across backgrounds (the callers
+        # broadcast one raw sheet), so the high-count tail is compacted
+        # once and reused per background
+        O2 = O if O.ndim == 2 else O[0]
+        Ocd = jnp.clip(jnp.floor(O2).astype(jnp.int32), 0, C - 1)
+        high = compact_mask(Ocd >= _HIST_T - 1, hcap)
+        ok = high[0] <= hcap
+        for b in range(B):
+            cidc0 = jnp.where(valid[b], jnp.clip(cid[b], 1, S - 1), 0)
+            h, _ = chunk_hist_split(Ocd, cidc0, S, C, hist_backend, hcap,
+                                    high=high)
+            hists.append(h)
+    else:
+        for b in range(B):
+            Oc_p, cid_p, _n = _chunk_pack(O[b], cid[b], valid[b], S, C)
+            hists.append(chunk_hist(Oc_p, cid_p, S, C, hist_backend))
     hist = jnp.concatenate(hists, axis=0)                     # [B*S, C]
     qtab = qtab_from_hist(hist, O.dtype, period=S)
     thr = (qtab > sig * (1.0 + slack)).astype(O.dtype).sum(axis=1)
@@ -537,7 +635,7 @@ def chunk_bh_keep_batched(O, cid, valid, sig, B, n_chunks=128, o_cap=32768,
           + ((cidc[..., None] > s) * deltas[:, None, None, :]).sum(-1))
     keep = valid & (jnp.clip(jnp.floor(O), 0, C - 1) >= th)
     keep = keep | (~valid & (jnp.asarray(sig, O.dtype) >= 1.0))
-    return keep, qtab, hist, thr.astype(jnp.int32).reshape(B, S)
+    return keep, qtab, hist, thr.astype(jnp.int32).reshape(B, S), ok
 
 
 def _chunk_pack(O, cid, valid, S, C, pre_offset=False):
@@ -561,6 +659,87 @@ def _chunk_pack(O, cid, valid, S, C, pre_offset=False):
     pad = -(-n // CH) * CH - n
     return (jnp.pad(Oc, (0, pad)).reshape(-1, CH),
             jnp.pad(cidc, (0, pad)).reshape(-1, CH), n)
+
+
+#: Low-count lane width of the split histogram: counts < _HIST_T-1 ride
+#: the dense per-pixel one-hot matmul (S x _HIST_T MACs per pixel);
+#: counts >= _HIST_T-1 are compacted and histogrammed exactly in a second
+#: small pass.  Makes the histogram's MXU work independent of o_cap —
+#: the dense S x (o_cap+1) form costs 655K MACs/pixel at o_cap=16384,
+#: which is where real-depth Hi-C lands (VERDICT r4 #8).  512 keeps the
+#: combined-key kernel's M = S*(T/128) >= 128 (full MXU rows) while
+#: holding the high-count tail to a small fraction of band pixels.
+_HIST_T = 512
+
+
+def _pack_ch(C):
+    """Scan-chunk width for a C-column histogram (shared by every pack)."""
+    return max(512, min(32768, ((64 << 20) // (2 * C)) // 256 * 256))
+
+
+def _pack_ints(Oc, cidc, C):
+    """[steps, CH] scan packing of already-clipped integer (count, chunk)
+    streams (the int twin of :func:`_chunk_pack`'s tail).  Returns the
+    two packed arrays plus the number of zero-pad entries (each lands in
+    the (0, 0) trash cell)."""
+    Oc = Oc.ravel()
+    cidc = cidc.ravel()
+    n = Oc.size
+    CH = _pack_ch(C)
+    pad = -(-n // CH) * CH - n
+    return (jnp.pad(Oc, (0, pad)).reshape(-1, CH),
+            jnp.pad(cidc, (0, pad)).reshape(-1, CH), pad)
+
+
+def chunk_hist_split(Ocd, cidc, S, C, hist_backend, hcap,
+                     high=None, T=_HIST_T):
+    """Exact [S, C] (chunk, count) histogram in two passes.
+
+    * pass 1: counts clipped to T-1 through the dense per-pixel kernel —
+      S*T MACs/pixel instead of S*C;
+    * pass 2: pixels with count >= T-1 (concentration: Hi-C counts fall
+      off steeply with distance, so these are a sub-percent tail) are
+      compacted to at most ``hcap`` indices and histogrammed over columns
+      [T-1, C) by the same kernel on the small stream; columns < T-1 of
+      pass 1 are untouched by construction, so the concatenation is
+      bit-identical to the one-pass histogram.
+
+    ``high``: optional precomputed (cnt_h, d_h, x_h) compaction of the
+    ``Ocd >= T-1`` mask — the observed counts are shared across
+    backgrounds, so batched callers compact once and reuse.
+
+    Returns (hist [S, C] int32, ok) where ``ok`` is False when the
+    high-count tail overflowed ``hcap`` (columns >= T-1 would be
+    incomplete; callers must discard the result and retry — the engine
+    folds this into its keep-cap overflow ladder)."""
+    if high is None:
+        high = compact_mask(Ocd >= T - 1, hcap)
+    cnt_h, d_h, x_h = high
+    ok = cnt_h <= hcap
+    OcT = jnp.minimum(Ocd, T - 1)
+    lo_o, lo_c, pad_low = _pack_ints(OcT, cidc, T)
+    h_low = chunk_hist(lo_o, lo_c, S, T, hist_backend)
+    kmask = jnp.arange(hcap, dtype=cnt_h.dtype) < cnt_h
+    # masked-off entries point at the last cell; chunk row S one-hots to
+    # nothing in the kernel, so they contribute to no bucket.  Flat
+    # single-index gathers: the 2D advanced-index form lowers to a
+    # pathological gather on TPU (hardware-profiled at ~40ms per call
+    # at genome scale vs ~1ms flat)
+    flat = d_h * Ocd.shape[1] + x_h
+    s_h = jnp.where(kmask, cidc.reshape(-1)[flat], S)
+    o_h = jnp.maximum(Ocd.reshape(-1)[flat] - (T - 1), 0)
+    hi_o, hi_c, pad_high = _pack_ints(o_h, s_h, C - T + 1)
+    h_high = chunk_hist(hi_o, hi_c, S, C - T + 1, hist_backend)
+    # reproduce the one-pass histogram's trash cells BIT-EXACTLY: its
+    # zero-pad lands in final (0, 0), this path's pads land in (0, 0)
+    # (low pass) and (0, T-1) (high pass's own column 0); all three
+    # counts are static functions of (n, C, hcap)
+    n = Ocd.size
+    ch_u = _pack_ch(C)
+    pad_u = -(-n // ch_u) * ch_u - n
+    h_low = h_low.at[0, 0].add(pad_u - pad_low)
+    h_high = h_high.at[0, 0].add(-pad_high)
+    return jnp.concatenate([h_low[:, :T - 1], h_high], axis=1), ok
 
 
 def chunk_hist(Oc_p, cid_p, S, C, hist_backend='jnp'):

@@ -135,7 +135,7 @@ def test_chunk_bh_keep_matches_dense_threshold(sig):
 
     q_dense = np.asarray(chunk_bh_histogram(
         jnp.asarray(O), jnp.asarray(cid), jnp.asarray(valid), o_cap=256))
-    keep, qtab, hist, _thr = chunk_bh_keep(jnp.asarray(O),
+    keep, qtab, hist, _thr, _ok = chunk_bh_keep(jnp.asarray(O),
                                      jnp.asarray(cid), jnp.asarray(valid),
                                      jnp.float32(sig), o_cap=256)
     np.testing.assert_array_equal(np.asarray(keep), q_dense <= sig)
@@ -185,7 +185,7 @@ def test_host_chunk_complete_matches_f64_reference(sig):
         q64_ref[sel] = fdr_bh(p64_ref[sel], alpha=sig)[1]
     ref_keep = valid & (q64_ref <= sig)
 
-    keep, _qtab, hist, _thr = chunk_bh_keep(
+    keep, _qtab, hist, _thr, _ok = chunk_bh_keep(
         jnp.asarray(O), jnp.asarray(cid), jnp.asarray(valid),
         jnp.float32(sig), o_cap=256, slack=0.01)
     keep = np.asarray(keep)
@@ -298,11 +298,11 @@ def test_chunk_bh_keep_batched_matches_per_background(B, sig, seed):
     valid = rng.random(shape) < 0.8
     o_cap = 256
 
-    keep_b, qtab_b, hist_b, thr_b = chunk_bh_keep_batched(
+    keep_b, qtab_b, hist_b, thr_b, _okb = chunk_bh_keep_batched(
         jnp.asarray(O), jnp.asarray(cid), jnp.asarray(valid), sig, B,
         o_cap=o_cap, hist_backend='jnp', slack=0.01)
     for b in range(B):
-        keep1, qtab1, hist1, thr1 = chunk_bh_keep(
+        keep1, qtab1, hist1, thr1, _ok1 = chunk_bh_keep(
             jnp.asarray(O[b]), jnp.asarray(cid[b]), jnp.asarray(valid[b]),
             sig, o_cap=o_cap, hist_backend='jnp', slack=0.01)
         np.testing.assert_array_equal(np.asarray(keep_b)[b],
@@ -313,3 +313,49 @@ def test_chunk_bh_keep_batched_matches_per_background(B, sig, seed):
                                       np.asarray(thr1))
         np.testing.assert_array_equal(
             np.asarray(qtab_b).reshape(B, 128, -1)[b], np.asarray(qtab1))
+
+
+def test_split_histogram_matches_unsplit():
+    """chunk_bh_keep's split histogram (hcap set, C-1 > 2*_HIST_T) must be
+    bit-identical to the one-pass histogram — including the row-0 trash
+    cells — and must flag overflow when the high-count tail exceeds hcap."""
+    import numpy as np
+    import jax.numpy as jnp
+    from hicpeaks_tpu.ops.score import chunk_bh_keep, chunk_bh_keep_batched
+
+    rng = np.random.default_rng(7)
+    num_p, Lp = 41, 640
+    S, o_cap = 40, 2048
+    O = np.where(rng.random((num_p, Lp)) < 0.03,
+                 rng.integers(500, 2000, (num_p, Lp)),
+                 rng.integers(0, 80, (num_p, Lp))).astype(np.float32)
+    cid = rng.integers(1, 45, (num_p, Lp)).astype(np.int32)
+    valid = rng.random((num_p, Lp)) < 0.6
+    sig = 0.05
+
+    base = chunk_bh_keep(jnp.asarray(O), jnp.asarray(cid),
+                         jnp.asarray(valid), sig, n_chunks=S, o_cap=o_cap,
+                         slack=0.01)
+    split = chunk_bh_keep(jnp.asarray(O), jnp.asarray(cid),
+                          jnp.asarray(valid), sig, n_chunks=S, o_cap=o_cap,
+                          slack=0.01, hcap=4096)
+    assert bool(split[4])
+    np.testing.assert_array_equal(np.asarray(base[2]), np.asarray(split[2]))
+    np.testing.assert_array_equal(np.asarray(base[0]), np.asarray(split[0]))
+    np.testing.assert_array_equal(np.asarray(base[3]), np.asarray(split[3]))
+
+    overflow = chunk_bh_keep(jnp.asarray(O), jnp.asarray(cid),
+                             jnp.asarray(valid), sig, n_chunks=S,
+                             o_cap=o_cap, slack=0.01, hcap=16)
+    assert not bool(overflow[4])
+
+    B = 3
+    cidb = jnp.asarray(np.stack([cid, cid + 1, np.maximum(cid - 1, 1)]))
+    validb = jnp.asarray(np.stack([valid, ~valid, valid]))
+    Ob = jnp.broadcast_to(jnp.asarray(O), (B, num_p, Lp))
+    b0 = chunk_bh_keep_batched(Ob, cidb, validb, sig, B, n_chunks=S,
+                               o_cap=o_cap, slack=0.01)
+    b1 = chunk_bh_keep_batched(Ob, cidb, validb, sig, B, n_chunks=S,
+                               o_cap=o_cap, slack=0.01, hcap=4096)
+    np.testing.assert_array_equal(np.asarray(b0[2]), np.asarray(b1[2]))
+    np.testing.assert_array_equal(np.asarray(b0[0]), np.asarray(b1[0]))

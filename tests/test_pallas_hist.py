@@ -65,10 +65,10 @@ def test_chunk_bh_keep_pallas_backend_matches_jnp(sig):
     cid, rv, valid = score_ops.lambda_chunks(jnp.asarray(E),
                                              jnp.asarray(scored))
 
-    keep_j, qtab_j, hist_j, _tj = score_ops.chunk_bh_keep(
+    keep_j, qtab_j, hist_j, _tj, _okj = score_ops.chunk_bh_keep(
         jnp.asarray(O), cid, valid, jnp.float32(sig), o_cap=256,
         hist_backend='jnp')
-    keep_p, qtab_p, hist_p, _tp = score_ops.chunk_bh_keep(
+    keep_p, qtab_p, hist_p, _tp, _okp = score_ops.chunk_bh_keep(
         jnp.asarray(O), cid, valid, jnp.float32(sig), o_cap=256,
         hist_backend='pallas-interpret')
     np.testing.assert_array_equal(np.asarray(keep_p), np.asarray(keep_j))
