@@ -45,7 +45,7 @@ if '--xla_force_host_platform_device_count' not in flags:
         flags + ' --xla_force_host_platform_device_count=8').strip()
 
 HERE = os.path.dirname(os.path.abspath(__file__))
-OUT_PATH = os.path.join(HERE, 'WEAK_SCALING_r04.json')
+OUT_PATH = os.path.join(HERE, 'WEAK_SCALING_r05.json')
 
 
 def log(msg):
@@ -122,6 +122,16 @@ def main():
             f'{len(tab_shard)} peaks identical')
 
     out = {
+        'artifact_kind': 'CORRECTNESS CHECK, not a scaling-efficiency '
+                         'claim: all virtual devices timeshare the same '
+                         'host cores without pinning, so retentions > 1 '
+                         'and the px/s/device trend are noise-dominated '
+                         '(round-4 verdict weak #5).  The load-bearing '
+                         'assertions are the identical peak tables and '
+                         'that the sharded path tracks its structural '
+                         'baseline (retention_vs_multidispatch ~ 1).  '
+                         'Real >= 0.8 multi-host efficiency needs real '
+                         'hosts (BASELINE target; environment-blocked).',
         'config': {'W_per_device': W, 'num': num, 'pw': [1, 2],
                    'ww': [3, 5],
                    'backend': 'cpu (8 virtual devices, shared cores)'},
