@@ -76,7 +76,7 @@ def _selected_chroms(clr: CoolerLite, chroms):
 
 def _run(kind, cooler_uri, cfg, chroms, mesh, scan_backend, checkpoint_dir,
          dtype, profile_dir, shape_bucket=4096, max_retries=1,
-         bh_backend='auto', check=False):
+         bh_backend='auto', check=False, row_bucket=8, max_count_floor=None):
     import jax
 
     clr = CoolerLite(cooler_uri)
@@ -138,10 +138,17 @@ def _run(kind, cooler_uri, cfg, chroms, mesh, scan_backend, checkpoint_dir,
                                           ww_min, dtype=dtype,
                                           weight_name=cfg.clr_weight_name,
                                           lane_pad=shape_bucket,
+                                          row_bucket=row_bucket,
                                           # the engine reads cand_hist/
                                           # max_count; the COO copies are
                                           # ~300MB/chrom at genome scale
                                           keep_sparse=False)
+                if max_count_floor is not None and \
+                        getattr(bands, 'max_count', None) is not None:
+                    # a floor only RAISES the o_cap bucket (always safe:
+                    # o_cap must merely be >= the true max count), letting
+                    # multi-resolution runs share one scorer executable
+                    bands.max_count = max(bands.max_count, max_count_floor)
             except BaseException as exc:   # re-raised on the consumer side
                 band_q.put((key, None, time.perf_counter() - t0, exc))
                 return
@@ -235,20 +242,29 @@ def _run(kind, cooler_uri, cfg, chroms, mesh, scan_backend, checkpoint_dir,
 def call_hiccups(cooler_uri, cfg: HiccupsConfig = None, chroms=('#', 'X'),
                  mesh=None, scan_backend='auto', checkpoint_dir=None,
                  dtype=np.float32, profile_dir=None, shape_bucket=4096,
-                 bh_backend='auto', check=False):
-    """-> {chrom_label: {(x_bp, y_bp): 10-tuple}} (see engine.hiccups_chrom)."""
+                 bh_backend='auto', check=False, row_bucket=8,
+                 max_count_floor=None):
+    """-> {chrom_label: {(x_bp, y_bp): 10-tuple}} (see engine.hiccups_chrom).
+
+    ``row_bucket``/``max_count_floor``: pad band rows and raise the o_cap
+    bucket so runs at DIFFERENT resolutions share one compiled executable
+    set (d_hi and L are traced operands; a multi-resolution pipeline
+    passes the max row count / max count over its resolutions)."""
     return _run('hiccups', cooler_uri, cfg or HiccupsConfig(), chroms, mesh,
                 scan_backend, checkpoint_dir, dtype, profile_dir,
                 shape_bucket=shape_bucket, bh_backend=bh_backend,
-                check=check)
+                check=check, row_bucket=row_bucket,
+                max_count_floor=max_count_floor)
 
 
 def call_bhfdr(cooler_uri, cfg: BHFDRConfig = None, chroms=('#', 'X'),
                mesh=None, scan_backend='auto', checkpoint_dir=None,
                dtype=np.float32, profile_dir=None, shape_bucket=4096,
-               bh_backend='auto', check=False):
+               bh_backend='auto', check=False, row_bucket=8,
+               max_count_floor=None):
     """-> {chrom_label: {(x_bp, y_bp): 7-tuple}} (see engine.bhfdr_chrom)."""
     return _run('bhfdr', cooler_uri, cfg or BHFDRConfig(), chroms, mesh,
                 scan_backend, checkpoint_dir, dtype, profile_dir,
                 shape_bucket=shape_bucket, bh_backend=bh_backend,
-                check=check)
+                check=check, row_bucket=row_bucket,
+                max_count_floor=max_count_floor)

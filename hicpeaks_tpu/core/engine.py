@@ -636,7 +636,7 @@ def _scan_calls(scan_impl):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    'plan', 'p_list', 'thr', 'ww_t', 'wis', 'ww_min', 'd_lo', 'd_hi',
+    'plan', 'p_list', 'thr', 'ww_t', 'wis', 'ww_min', 'd_lo',
     'gap_s', 'o_cap', 'keep_cap', 'hist_backend', 'bits', 'scan_impl',
     'exact_mode', 'sus_cap', 'margin', 's_rows'))
 def _fused_hiccups_device(raw_op, w0, bias, IR, gap, sig, total, t_left,
@@ -671,7 +671,7 @@ def _fused_hiccups_device(raw_op, w0, bias, IR, gap, sig, total, t_left,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    'plan', 'p_list', 'thr', 'wi', 'ww_min', 'd_lo', 'd_hi', 'gap_s',
+    'plan', 'p_list', 'thr', 'wi', 'ww_min', 'd_lo', 'gap_s',
     'keep_cap', 'bits', 'scan_impl'))
 def _fused_bhfdr_device(raw_op, w0, bias, IR, gap, sig, total, t_left,
                         plan, p_list, thr, wi, ww_min, L, d_lo, d_hi,
@@ -1366,7 +1366,8 @@ def _bhfdr_fused(bands: ChromBands, cfg: BHFDRConfig, plan, total,
         counts, allowed_d, out = _fused_bhfdr_device(
             *args, plan=plan, p_list=(cfg.pw,), thr=16, wi=int(cfg.ww),
             ww_min=bands.ww_min, L=int(bands.L), d_lo=cfg.ww,
-            d_hi=cfg.maxapart // res, gap_s=cfg.ww, keep_cap=cap,
+            d_hi=np.int32(cfg.maxapart // res), gap_s=cfg.ww,
+            keep_cap=cap,
             bits=bits, scan_impl=scan_impl)
         counts_h, allowed_h, f10 = _fetch((counts, allowed_d, out[:10]))
         decision = poolplan.emulate_freeze_bhfdr(plan, counts_h, total)
@@ -1452,7 +1453,8 @@ def _hiccups_fused(bands: ChromBands, cfg: HiccupsConfig, plan, p_list,
         plan=plan, p_list=p_list, thr=cfg.min_local_reads,
         ww_t=tuple(cfg.ww), wis=tuple((int(p), int(w)) for p, w in pairs),
         ww_min=bands.ww_min, L=int(bands.L), d_lo=min(cfg.ww),
-        d_hi=cfg.maxapart // bands.res, gap_s=min(cfg.ww), o_cap=o_cap,
+        d_hi=np.int32(cfg.maxapart // bands.res), gap_s=min(cfg.ww),
+        o_cap=o_cap,
         keep_cap=_KEEP_CAP_FAST, hist_backend=hist_backend, bits=bits,
         scan_impl=scan_impl, exact_mode=exact_mode,
         margin=_chunk_margin(plan),

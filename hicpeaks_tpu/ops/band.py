@@ -211,11 +211,14 @@ def build_bands(bin1, bin2, count, weights, L, num, ww_min, res, chrom='',
 
 def bands_from_cooler(clr, chrom, maxapart, maxww, ww_min, dtype=np.float32,
                       weight_name='weight', lane_pad=128,
-                      keep_sparse=True) -> ChromBands:
+                      keep_sparse=True, row_bucket=8) -> ChromBands:
     """One-stop chromosome loader mirroring the reference worker's prep
     (scripts/pyHICCUPS:139-168): num = maxapart//res + maxww + 1.
     ``lane_pad`` buckets the padded width (e.g. 4096) so chromosomes of
-    similar size share compiled programs."""
+    similar size share compiled programs; ``row_bucket`` likewise buckets
+    the band ROW count, which lets a multi-resolution pipeline share one
+    executable set across resolutions (num varies with res; padded rows
+    are all-zero and candidate-free, so they are semantically inert)."""
     res = clr.binsize
     lo, hi = clr.bin_range(chrom)
     L = hi - lo
@@ -224,4 +227,5 @@ def bands_from_cooler(clr, chrom, maxapart, maxww, ww_min, dtype=np.float32,
     w = clr.weights(chrom, weight_name)
     return build_bands(b1, b2, ct, w, L, num, ww_min, res,
                        chrom=chrom.lstrip('chr'), dtype=dtype,
-                       lane_pad=lane_pad, keep_sparse=keep_sparse)
+                       lane_pad=lane_pad, keep_sparse=keep_sparse,
+                       sublane_pad=max(8, row_bucket))

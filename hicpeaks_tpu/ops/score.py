@@ -104,14 +104,17 @@ def build_sheets_device(raw, w0, bias, IR, gap, ww_min, L, d_lo, d_hi,
     # inside the fused chromosome program): chromosomes of one shape
     # bucket share the compiled executable across different logical
     # lengths
+    # d_hi stays a traced operand (like L): it is the only per-resolution
+    # value in the sheet derivation, so tracing it lets a multi-resolution
+    # run share one executable across 5/10/25Kb (row-bucketed bands)
     return _build_sheets_jit(raw, w0, bias, IR, gap, ww_min=int(ww_min),
-                             L=L, d_lo=int(d_lo), d_hi=int(d_hi),
+                             L=L, d_lo=int(d_lo), d_hi=d_hi,
                              gap_s=int(gap_s),
                              bits=tuple(bits) if bits is not None else None)
 
 
 @functools.partial(jax.jit, static_argnames=('ww_min', 'd_lo',
-                                             'd_hi', 'gap_s', 'bits'))
+                                             'gap_s', 'bits'))
 def _build_sheets_jit(raw, w0, bias, IR, gap, ww_min, L, d_lo, d_hi,
                       gap_s, bits=None):
     if isinstance(raw, tuple):

@@ -28,6 +28,10 @@ assert jax.default_backend() == 'cpu', jax.devices()
 # so staleness is not a concern; delete the directory to reset.
 _cache = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), '.jax_cache_tests')
-os.makedirs(_cache, exist_ok=True)
-jax.config.update('jax_compilation_cache_dir', _cache)
-jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
+# HICPEAKS_TEST_NO_CACHE=1 disables the persistent cache (the jaxlib
+# cache serializer segfaults deep into single-process full-suite runs —
+# see the fuzz-test isolation note in tests/test_reference_parity.py)
+if os.environ.get('HICPEAKS_TEST_NO_CACHE') != '1':
+    os.makedirs(_cache, exist_ok=True)
+    jax.config.update('jax_compilation_cache_dir', _cache)
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
