@@ -17,12 +17,12 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                   'PASSB_TUNE_r04.json')
+                   'PASSB_TUNE_r05.json')
 
 
 def main():
     budgets = [int(b) for b in os.environ.get(
-        'PT_BUDGETS', '12,24,48,80').split(',')]
+        'PT_BUDGETS', '13,28,44,56,72,90').split(',')]
     L = int(os.environ.get('PT_L', 8192))
     results = {}
     import numpy as np
@@ -70,7 +70,7 @@ def main():
         Mr = pallas_scan._pad_to(M, 8)
         Mc = pallas_scan._pad_to(M, 128)
         R, T = pallas_scan._choose_tiles(raw.shape[0], raw.shape[1], Mr, Mc,
-                                         44 + 8 * len(p_list))
+                                         19, 10 + 10 * len(p_list))
         try:
             outs = pallas_scan.scan_pass_b_pallas(
                 raw, cband, eband, cand, allowed, plan, p_list, 16)

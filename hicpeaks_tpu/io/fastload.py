@@ -21,6 +21,8 @@ _TRIED = False
 
 def _load_library():
     global _LIB, _TRIED
+    if os.environ.get('HICPEAKS_NO_NATIVE') == '1':
+        return None
     if _TRIED:
         return _LIB
     _TRIED = True

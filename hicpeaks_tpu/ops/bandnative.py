@@ -52,6 +52,8 @@ def _register(lib):
 
 def _load_library():
     global _LIB, _TRIED
+    if os.environ.get('HICPEAKS_NO_NATIVE') == '1':
+        return None
     if _TRIED:
         return _LIB
     _TRIED = True

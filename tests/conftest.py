@@ -35,3 +35,25 @@ if os.environ.get('HICPEAKS_TEST_NO_CACHE') != '1':
     os.makedirs(_cache, exist_ok=True)
     jax.config.update('jax_compilation_cache_dir', _cache)
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
+
+import pytest  # noqa: E402
+
+_last_module = [None]
+
+
+@pytest.fixture(autouse=True)
+def _clear_jax_caches_between_modules(request):
+    """Free compiled-executable state between test MODULES.
+
+    jaxlib 0.9.0's XLA:CPU compiler segfaults deterministically ~70% into
+    a single-process run of this suite (three separate runs crashed inside
+    backend_compile_and_load / the compilation-cache serializer on a
+    fuzz-test program that compiles fine in a fresh process, with natives
+    disabled too) — accumulated compiler/executable state is the trigger.
+    Dropping jit caches at module boundaries keeps the in-process state
+    bounded; the on-disk compilation cache makes the re-compiles cheap."""
+    mod = request.node.nodeid.split('::', 1)[0]
+    if _last_module[0] is not None and mod != _last_module[0]:
+        jax.clear_caches()
+    _last_module[0] = mod
+    yield

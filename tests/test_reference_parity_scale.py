@@ -23,7 +23,8 @@ from hicpeaks_tpu.io.coolerlite import CoolerLite
 from hicpeaks_tpu.io.synth import synthetic_cooler
 from hicpeaks_tpu.ops.band import bands_from_cooler
 
-from .test_reference_parity import (REFROOT, _format_lines, prepare_sparse,
+from .test_reference_parity import (REFROOT, _format_lines, _no_persistent_cache,
+                                    prepare_sparse,
                                     ref)   # noqa: F401  (fixture re-export)
 
 pytestmark = [
