@@ -294,7 +294,7 @@ def main():
     if eff is not None:
         result['hw_efficiency'] = eff
     detail = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                          'benchmarks', 'BENCH_r04_detail.json')
+                          'benchmarks', 'BENCH_r05_detail.json')
     try:
         with open(detail, 'w') as f:
             json.dump(dict(result, steady_ms=round(dt * 1e3, 2)), f,

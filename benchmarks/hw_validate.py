@@ -11,7 +11,7 @@ sum/count tensor from the Mosaic kernel is asserted allclose against the
 jnp scan on hardware — then diffs the engine's float32 peak table against
 the float64 NumPy oracle (tests/oracle/reference_impl.py).
 
-Writes benchmarks/HW_VALIDATE_r04.json (override with HV_OUT).
+Writes benchmarks/HW_VALIDATE_r05.json (override with HV_OUT).
 """
 import json
 import os
@@ -23,7 +23,7 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 OUT_PATH = os.path.join(REPO, 'benchmarks',
-                        os.environ.get('HV_OUT', 'HW_VALIDATE_r04.json'))
+                        os.environ.get('HV_OUT', 'HW_VALIDATE_r05.json'))
 
 
 def log(msg):

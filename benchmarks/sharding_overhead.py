@@ -12,7 +12,7 @@ sharded program *adds* (collectives, halo duplication, per-shard padding)
 — the part of scaling efficiency the environment can see.  Peak tables
 must be identical at every n (asserted).
 
-Writes benchmarks/SHARDING_OVERHEAD_r04.json.
+Writes benchmarks/SHARDING_OVERHEAD_r05.json.
 """
 import json
 import os
@@ -32,7 +32,7 @@ if '--xla_force_host_platform_device_count' not in flags:
 import numpy as np
 
 HERE = os.path.dirname(os.path.abspath(__file__))
-OUT_PATH = os.path.join(HERE, 'SHARDING_OVERHEAD_r04.json')
+OUT_PATH = os.path.join(HERE, 'SHARDING_OVERHEAD_r05.json')
 
 
 def log(msg):

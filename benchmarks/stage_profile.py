@@ -11,7 +11,7 @@ Two rounds: round 0 = compile+run, round 1 = steady state.  Also attempts
 a jax.profiler trace of the steady round (best-effort: the device is
 remote, so the trace may cover host/dispatch only).
 
-Writes benchmarks/STAGE_PROFILE_r04.json.
+Writes benchmarks/STAGE_PROFILE_r05.json.
 
 Env knobs: SP_L (default 24900), SP_TIMEOUT, SP_BACKEND, SP_TRACE=1.
 """
@@ -27,7 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 HERE = os.path.dirname(os.path.abspath(__file__))
-OUT_PATH = os.path.join(HERE, 'STAGE_PROFILE_r04.json')
+OUT_PATH = os.path.join(HERE, 'STAGE_PROFILE_r05.json')
 
 
 def log(msg):
