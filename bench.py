@@ -163,9 +163,7 @@ def main():
     t_left = poolplan_mod.left_threshold(total)
     scan_impl = backend if backend in ('pallas', 'jnp') else 'jnp'
 
-    @jax.jit
-    def full(eps, raw, w0, bias, IR, gap, allowed):
-        del allowed   # the production program derives the gate on device
+    def full_body(eps, raw, w0, bias, IR, gap):
         counts, allowed_d, outK, outY = engine_mod._fused_hiccups_device(
             raw + eps, w0, bias, IR, gap, jnp.float32(0.05),
             jnp.int32(total), jnp.int32(t_left),
@@ -177,12 +175,16 @@ def main():
             scan_impl=scan_impl,
             s_rows=score_ops.chunk_rows(o_cap, 0.05))
         n_keep = outK[0].sum() + outY[0].sum()
+        # acc keeps every stage alive through DCE: pass-A counts, and
+        # per-pixel stats gathered at the BH-kept compaction indices
+        # (which depend on the histogram/threshold chain)
         acc = (counts.sum().astype(jnp.float32)
                + outK[3].sum().astype(jnp.float32)
                + outY[3].sum().astype(jnp.float32))
         return acc * 0.0, n_keep
 
-    args = (raw, w0, bias, IR, gap, allowed)
+    full = jax.jit(full_body)
+    args = (raw, w0, bias, IR, gap)
     t0 = time.time()
     eps = jnp.float32(0.0)
     chain, n_keep = full(eps, *args)
@@ -190,13 +192,35 @@ def main():
     log(f'fused pipeline compiled+ran in {time.time() - t0:.1f}s '
         f'(keep={int(n_keep)})')
 
-    t0 = time.perf_counter()
-    for _i in range(n_iters):
-        chain, n_keep = full(eps, *args)
-        eps = chain
-    _ = float(eps)             # forces every chained iteration to finish
-    dt = (time.perf_counter() - t0) / n_iters
-    log(f'steady-state {dt * 1e3:.1f} ms/iter; total bench wall '
+    # Steady state by SLOPE between two in-program iteration counts:
+    # a dispatch on this tunneled runtime carries a fixed ~27ms
+    # envelope (hardware-probed: an 8-iter and a 32-iter fori of a
+    # trivial body cost the SAME 28ms wall) and block_until_ready does
+    # not synchronize, so per-call python loops measure the tunnel.
+    # Chained fori iterations serialize on the eps data dependency;
+    # (T(N2) - T(N1)) / (N2 - N1) cancels the envelope exactly.
+    def timed_fori(N):
+        @jax.jit
+        def runN(eps, raw, w0, bias, IR, gap):
+            def body(i, e):
+                return full_body(e, raw, w0, bias, IR, gap)[0]
+            return jax.lax.fori_loop(0, N, body, eps)
+        _ = float(runN(jnp.float32(0), *args))        # compile + warm
+        reps = 3
+        best = float('inf')
+        for _i in range(reps):
+            t0 = time.perf_counter()
+            _ = float(runN(jnp.float32(0), *args))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    n1, n2 = 4, 4 + max(8, n_iters)
+    t_n1 = timed_fori(n1)
+    t_n2 = timed_fori(n2)
+    dt = (t_n2 - t_n1) / (n2 - n1)
+    log(f'steady-state {dt * 1e3:.1f} ms/iter (slope of {n1}->{n2} '
+        f'in-program iters: {t_n1 * 1e3:.0f} -> {t_n2 * 1e3:.0f} ms; '
+        f'dispatch envelope cancelled); total bench wall '
         f'{time.time() - t_start:.0f}s')
 
     pixels_per_s = n_cand / dt
