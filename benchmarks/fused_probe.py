@@ -19,7 +19,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                   'FUSED_PROBE_r04.json')
+                   'FUSED_PROBE_r05.json')
 
 
 def log(msg):
