@@ -49,10 +49,8 @@ def _watchdog(seconds):
 def main():
     t_all = time.time()
     _watchdog(int(os.environ.get('MR_TIMEOUT', 3000)))
-    # persistent compile cache via the guarded helper ONLY: setting
-    # JAX_COMPILATION_CACHE_DIR directly forces executable serialization
-    # back over the axon tunnel (~100s+/program — the round-3 450s/840s
-    # cold-start regression, cli/common.enable_compilation_cache)
+    # persistent compile cache (round 5: re-enabled on the remote
+    # backend, cli/common.enable_compilation_cache)
     import jax
     import glob
     from hicpeaks_tpu.cli.common import enable_compilation_cache

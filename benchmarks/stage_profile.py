@@ -57,10 +57,8 @@ def _sync(x):
 
 def main():
     _watchdog(int(os.environ.get('SP_TIMEOUT', 3000)))
-    # persistent compile cache via the guarded helper ONLY: setting
-    # JAX_COMPILATION_CACHE_DIR directly forces executable serialization
-    # back over the axon tunnel (~100s+/program — the round-3 450s/840s
-    # cold-start regression, cli/common.enable_compilation_cache)
+    # persistent compile cache (round 5: re-enabled on the remote
+    # backend too, cli/common.enable_compilation_cache)
     import jax
     from hicpeaks_tpu.cli.common import enable_compilation_cache
     enable_compilation_cache()
