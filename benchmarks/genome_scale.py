@@ -28,8 +28,8 @@ import numpy as np
 
 OUT_PATH = os.path.join(
     os.path.dirname(os.path.abspath(__file__)),
-    'GENOME_SCALE_r04_multipair.json'
-    if os.environ.get('GS_MULTIPAIR') else 'GENOME_SCALE_r04.json')
+    'GENOME_SCALE_r05_multipair.json'
+    if os.environ.get('GS_MULTIPAIR') else 'GENOME_SCALE_r05.json')
 
 
 def log(msg):
